@@ -1,0 +1,181 @@
+"""Ward agglomerative clustering on TPU with static shapes.
+
+The reference bottoms out in `stats::hclust(d, method="ward.D")`
+(R/get_opt_hclust.R:76-83), Fortran code with data-dependent control flow.
+The TPU-native replacement is a fixed-trip-count Lance-Williams loop over a
+padded (n, n) distance matrix:
+
+  * All n_pad points participate; padded points carry structural distances
+    (PAD_PAD_DIST between themselves, PAD_REAL_DIST to real points, see
+    sharp_tpu/ops/distance.py) so every real merge happens strictly before
+    any padded merge. The loop always runs n_pad - 1 steps — no dynamic
+    shapes, fully vmappable over the ensemble axis.
+  * ward.D semantics: the Lance-Williams update
+        d(i∪j, k) = ((n_i+n_k) d(i,k) + (n_j+n_k) d(j,k) - n_k d(i,j))
+                    / (n_i + n_j + n_k)
+    is applied to the *raw* input distances (R's "ward.D" treats the input
+    as already-squared; scipy's `ward` is the ward.D2 variant — parity
+    tests account for this, see tests/test_linkage.py).
+  * `cutree` is re-designed: instead of cutting the dendrogram once per
+    candidate k (the reference recomputes per k, R/get_opt_hclust.R:129-154),
+    we replay the merge sequence once and snapshot the labelling at every
+    candidate k in [minN, minN+ncand) — O(n^2) total.
+
+Invariant maintained by the merge loop: D[a, b] == BIG exactly when a == b
+or either cluster is dead, so the per-step argmin needs no extra masking
+pass over the matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sharp_tpu.ops.distance import BIG
+
+
+class LinkageResult(NamedTuple):
+    merges: jax.Array   # (n_pad - 1, 2) int32; col 0 = surviving (smaller) index
+    heights: jax.Array  # (n_pad - 1,) f32 merge distances (ward.D heights)
+
+
+def _prep_matrix(D: jax.Array) -> jax.Array:
+    n = D.shape[-1]
+    eye = jnp.eye(n, dtype=bool)
+    return jnp.where(eye, BIG, D)
+
+
+@jax.jit
+def ward_linkage(D: jax.Array) -> LinkageResult:
+    """Run ward.D agglomeration over a padded distance matrix.
+
+    D: (n_pad, n_pad) from `pearson_distance`/`similarity_to_distance`
+    (structural padding already in place). Returns the full merge sequence;
+    the first n_real - 1 merges are exactly the merges of the unpadded
+    problem, in the same order as R's hclust.
+    """
+    n = D.shape[-1]
+    D = _prep_matrix(D)
+    ar = jnp.arange(n)
+
+    def step(t, carry):
+        D, active, sizes, merges, heights = carry
+        idx = jnp.argmin(D.reshape(-1))
+        i0 = idx // n
+        j0 = idx % n
+        i = jnp.minimum(i0, j0)
+        j = jnp.maximum(i0, j0)
+        h = D.reshape(-1)[idx]
+
+        ni = sizes[i]
+        nj = sizes[j]
+        nk = sizes
+        dik = D[i, :]
+        djk = D[j, :]
+        formula = ((ni + nk) * dik + (nj + nk) * djk - nk * h) / (ni + nj + nk)
+        valid = active & (ar != i) & (ar != j)
+        newrow = jnp.where(valid, formula, BIG)
+
+        D = D.at[i, :].set(newrow)
+        D = D.at[:, i].set(newrow)
+        D = D.at[j, :].set(BIG)
+        D = D.at[:, j].set(BIG)
+        active = active.at[j].set(False)
+        sizes = sizes.at[i].set(ni + nj)
+        merges = merges.at[t, 0].set(i.astype(jnp.int32))
+        merges = merges.at[t, 1].set(j.astype(jnp.int32))
+        heights = heights.at[t].set(h)
+        return D, active, sizes, merges, heights
+
+    init = (
+        D,
+        jnp.ones((n,), dtype=bool),
+        jnp.ones((n,), dtype=D.dtype),
+        jnp.zeros((n - 1, 2), dtype=jnp.int32),
+        jnp.zeros((n - 1,), dtype=D.dtype),
+    )
+    _, _, _, merges, heights = jax.lax.fori_loop(0, n - 1, step, init)
+    return LinkageResult(merges=merges, heights=heights)
+
+
+class CutForest(NamedTuple):
+    labels: jax.Array        # (ncand, n_pad) int32 dense labels in [0, k); pads -> nc_pad-1
+    k: jax.Array             # (ncand,) int32 actual cluster count per candidate
+    valid: jax.Array         # (ncand,) bool — candidate k is testable (k <= n_real-1, k <= maxN)
+
+
+def densify_labels(lab: jax.Array, real_mask: jax.Array, nc_pad: int):
+    """Map representative-index labels to dense ids 0..k-1 (first-index order).
+
+    Padded cells are routed to the reserved garbage slot nc_pad - 1.
+    """
+    n = lab.shape[0]
+    occ = jnp.zeros((n,), jnp.int32).at[lab].max(real_mask.astype(jnp.int32))
+    newid = jnp.cumsum(occ) - 1
+    dense = newid[lab]
+    dense = jnp.where(real_mask, dense, nc_pad - 1)
+    return dense.astype(jnp.int32), jnp.sum(occ)
+
+
+@functools.partial(jax.jit, static_argnames=("minN", "ncand", "nc_pad"))
+def cutree_multi(
+    merges: jax.Array,
+    n_real: jax.Array,
+    real_mask: jax.Array,
+    maxN: jax.Array,
+    *,
+    minN: int,
+    ncand: int,
+    nc_pad: int,
+) -> CutForest:
+    """All cuts k = minN .. minN+ncand-1 from one merge-sequence replay.
+
+    Matches `cutree(h, k)` for each candidate k (R/get_opt_hclust.R:113,132)
+    but in a single O(n_pad^2) pass. `n_real`/`maxN` may be traced scalars.
+    """
+    npad = real_mask.shape[0]
+    labels0 = jnp.arange(npad, dtype=jnp.int32)
+    snaps0 = jnp.zeros((ncand, npad), dtype=jnp.int32)
+
+    def step(t, carry):
+        labels, snaps = carry
+        i = merges[t, 0]
+        j = merges[t, 1]
+        labels = jnp.where(labels == j, i, labels)
+        k_now = n_real - t - 1
+        ci = k_now - minN
+        ok = (ci >= 0) & (ci < ncand)
+        cidx = jnp.clip(ci, 0, ncand - 1)
+        row = jnp.where(ok, labels, snaps[cidx])
+        snaps = snaps.at[cidx].set(row)
+        return labels, snaps
+
+    _, snaps = jax.lax.fori_loop(0, npad - 1, step, (labels0, snaps0))
+
+    dense, k = jax.vmap(lambda l: densify_labels(l, real_mask, nc_pad))(snaps)
+    ks = minN + jnp.arange(ncand)
+    valid = (ks <= n_real - 1) & (ks <= maxN)
+    return CutForest(labels=dense, k=k, valid=valid)
+
+
+def real_heights_tail(heights: jax.Array, n_real: jax.Array, tail: int = 10):
+    """Last `tail` real merge heights, ascending — the reference's
+    `tail(h$height, n=10)` (R/get_opt_hclust.R:199).
+
+    Real merges occupy indices [0, n_real-1) of `heights`; later entries are
+    structural pad merges. When fewer than `tail` real merges exist, the
+    trailing invalid slots are filled with the last valid height so adjacent
+    diffs there are 0 and can never trigger the height-gap rule. Returns
+    (window (tail,), valid (tail,) bool).
+    """
+    m = heights.shape[0]
+    start = jnp.clip(n_real - 1 - tail, 0, max(m - tail, 0))
+    window = jax.lax.dynamic_slice(heights, (start,), (tail,))
+    merge_idx = start + jnp.arange(tail)
+    valid = merge_idx < n_real - 1
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    last_valid = window[jnp.maximum(nvalid - 1, 0)]
+    return jnp.where(valid, window, last_valid), valid

@@ -1,0 +1,165 @@
+"""Optimal hierarchical clustering with automatic cluster-count selection.
+
+TPU-native equivalent of the reference's core clustering kernel
+`get_opt_hclust` (R/get_opt_hclust.R:33-244): Ward linkage over a Pearson
+(or 1-S) distance, a batched sweep of candidate cuts k in [minN, maxN], and
+the three-stage selection rule chain:
+
+  1. max *median* silhouette, ties broken by taking the middle tied index
+     (R/get_opt_hclust.R:162-168);
+  2. if max silhouette <= sil.thre: argmax CH index (:194-195);
+  3. if CH picks the smallest k: dendrogram height-gap rule — first of the
+     top-10 heights whose successor is > height.Ntimes x itself; cut at the
+     midpoint height (:196-210).
+
+Everything is one jitted function per (static-shape) problem size;
+`n_real`, `maxN` and the fixed `N_cluster` may be traced scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sharp_tpu.ops.distance import (
+    pearson_distance,
+    similarity_to_distance,
+    standardize_rows,
+    _unit_rows,
+)
+from sharp_tpu.ops.linkage import (
+    ward_linkage,
+    cutree_multi,
+    real_heights_tail,
+)
+from sharp_tpu.ops.silhouette import sweep_scores
+
+_NEG = jnp.float32(-jnp.inf)
+
+
+class OptHclust(NamedTuple):
+    labels: jax.Array    # (n_pad,) int32 dense ids in [0, k); pads at nc_pad-1
+    k: jax.Array         # () int32 chosen cluster count
+    maxsil: jax.Array    # () f32 max median silhouette over the sweep
+    msil: jax.Array      # (ncand,) f32 per-candidate median silhouette
+    ch: jax.Array        # (ncand,) f32 per-candidate CH index
+    oind: jax.Array      # () int32 chosen candidate index
+    heights: jax.Array   # (n_pad - 1,) f32 merge heights
+    all_labels: jax.Array  # (ncand, n_pad) labels of every candidate cut
+
+
+def _middle_tied_argmax(x: jax.Array, valid: jax.Array) -> jax.Array:
+    """Index of the middle element among ties for the maximum
+    (R: tmp[ceiling(length(tmp)/2)], R/get_opt_hclust.R:162-168)."""
+    xm = jnp.where(valid, x, _NEG)
+    mx = jnp.max(xm)
+    tied = (xm == mx) & valid
+    cnt = jnp.sum(tied.astype(jnp.int32))
+    target = (cnt + 1) // 2
+    csum = jnp.cumsum(tied.astype(jnp.int32))
+    return jnp.argmax(csum >= target)
+
+
+def _prep_distance(mat, real_mask, symmetric: bool):
+    if symmetric:
+        D = similarity_to_distance(mat, real_mask)
+        feats = mat  # CH uses S itself as features (R/get_opt_hclust.R:111,144)
+    else:
+        Z = standardize_rows(mat, real_mask)
+        D = pearson_distance(Z, real_mask)
+        feats = Z
+    mi = real_mask[:, None]
+    mj = real_mask[None, :]
+    D_real = jnp.where(mi & mj, D, 0.0)
+    n = D.shape[-1]
+    D_real = jnp.where(jnp.eye(n, dtype=bool), 0.0, D_real)
+    feats_unit = _unit_rows(feats) * real_mask[:, None].astype(jnp.float32)
+    return D, D_real, feats_unit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("symmetric", "minN", "ncand", "nc_pad", "height_tail"),
+)
+def opt_hclust(
+    mat: jax.Array,
+    real_mask: jax.Array,
+    n_real: jax.Array,
+    maxN: jax.Array,
+    *,
+    symmetric: bool,
+    minN: int,
+    ncand: int,
+    nc_pad: int,
+    sil_thre: float = 0.35,
+    height_Ntimes: float = 2.0,
+    N_cluster: Optional[jax.Array] = None,
+    height_tail: int = 10,
+) -> OptHclust:
+    """Cluster `mat` ((n_pad, p) features or (n_pad, n_pad) similarity).
+
+    If `N_cluster` is given (traced scalar >= 2), performs the single fixed
+    cut (R/get_opt_hclust.R:90-107) — the sweep still runs (static shapes)
+    but selection is forced to that candidate.
+    """
+    D, D_real, feats_unit = _prep_distance(mat, real_mask, symmetric)
+    link = ward_linkage(D)
+
+    cuts = cutree_multi(
+        link.merges, n_real, real_mask, maxN,
+        minN=minN, ncand=ncand, nc_pad=nc_pad,
+    )
+    ks = (minN + jnp.arange(ncand)).astype(jnp.float32)
+    msil, ch = sweep_scores(
+        D_real, feats_unit, cuts.labels, ks, real_mask, n_real, nc_pad=nc_pad
+    )
+
+    valid = cuts.valid
+    # --- rule 1: middle-tied max median silhouette ---
+    sil_oind = _middle_tied_argmax(msil, valid)
+    maxsil = jnp.max(jnp.where(valid, msil, _NEG))
+
+    # --- rule 2: CH fallback ---
+    ch_oind = jnp.argmax(jnp.where(valid, ch, _NEG))
+
+    # --- rule 3: height-gap fallback (only if CH picked the first candidate) ---
+    tailh, tail_valid = real_heights_tail(link.heights, n_real, tail=height_tail)
+    succ = tailh[1:]
+    pred = tailh[:-1]
+    pair_valid = tail_valid[1:]
+    flag = ((succ - pred) > (height_Ntimes - 1.0) * pred) & pair_valid
+    any_flag = jnp.any(flag)
+    pind = jnp.argmax(flag)
+    opth = 0.5 * (pred[pind] + succ[pind])
+    # clusters after cutting at height opth: n_real - #{real merges with h <= opth}
+    midx = jnp.arange(link.heights.shape[0])
+    below = jnp.sum(
+        ((link.heights <= opth) & (midx < n_real - 1)).astype(jnp.int32)
+    )
+    k_cut = n_real - below
+    hg_oind = jnp.clip(k_cut - minN, 0, ncand - 1)
+
+    use_ch = maxsil <= sil_thre
+    hg_applies = use_ch & (ch_oind == 0) & any_flag
+    oind = jnp.where(
+        use_ch, jnp.where(hg_applies, hg_oind, ch_oind), sil_oind
+    ).astype(jnp.int32)
+
+    if N_cluster is not None:
+        oind = jnp.clip(jnp.asarray(N_cluster, jnp.int32) - minN, 0, ncand - 1)
+
+    labels = cuts.labels[oind]
+    k = cuts.k[oind]
+    return OptHclust(
+        labels=labels,
+        k=k,
+        maxsil=maxsil,
+        msil=msil,
+        ch=ch,
+        oind=oind,
+        heights=link.heights,
+        all_labels=cuts.labels,
+    )

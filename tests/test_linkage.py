@@ -1,0 +1,122 @@
+"""Ward linkage + multi-cut parity vs scipy (sharp_tpu/ops/linkage.py).
+
+R's hclust(method="ward.D") applies Lance-Williams directly to the input
+distances; scipy's `linkage(..., 'ward')` is the ward.D2 variant working on
+unsquared distances. ward.D on d produces the same merge order as scipy
+ward on sqrt(d), with heights h_ward.D = h_scipy^2 — that equivalence is
+the parity oracle here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.cluster.hierarchy import fcluster, linkage as scipy_linkage
+from scipy.spatial.distance import squareform
+from sklearn.metrics import adjusted_rand_score
+
+from sharp_tpu.ops.distance import pearson_distance, standardize_rows
+from sharp_tpu.ops.linkage import ward_linkage, cutree_multi
+
+
+def _random_problem(n, p, seed, npad=None):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    npad = npad or n
+    Xp = np.zeros((npad, p), np.float32)
+    Xp[:n] = X
+    mask = np.zeros(npad, bool)
+    mask[:n] = True
+    return X, jnp.asarray(Xp), jnp.asarray(mask)
+
+
+def _corr_dist(X):
+    C = np.corrcoef(X)
+    return 1.0 - C
+
+
+def test_merge_heights_match_scipy():
+    n, p = 60, 24
+    X, Xp, mask = _random_problem(n, p, 0)
+    D = pearson_distance(standardize_rows(jnp.asarray(X), None), jnp.asarray(mask[:n]))
+    res = ward_linkage(D)
+    heights = np.asarray(res.heights)[: n - 1]
+
+    d = _corr_dist(X)
+    np.fill_diagonal(d, 0.0)
+    Z = scipy_linkage(squareform(np.sqrt(np.maximum(d, 0)), checks=False), "ward")
+    np.testing.assert_allclose(
+        np.sort(heights), np.sort(Z[:, 2] ** 2), rtol=5e-3, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("npad", [64, 96])
+def test_cutree_matches_scipy_fcluster(npad):
+    """Exact merge-order + all-cut parity vs scipy, in float64.
+
+    (In float32 near-tie merge orders can legitimately flip vs scipy's
+    float64 — the f32 path is covered by the blob/ARI tests instead.)
+    """
+    n, p = 57, 16
+    X, _, _ = _random_problem(n, p, 1)
+    d = _corr_dist(X.astype(np.float64))
+    np.fill_diagonal(d, 0.0)
+
+    minN, ncand, nc_pad = 2, 10, 16
+    with jax.enable_x64(True):
+        Dp = np.full((npad, npad), 0.0)
+        Dp[:n, :n] = d
+        mask = np.zeros(npad, bool)
+        mask[:n] = True
+        from sharp_tpu.ops.distance import PAD_PAD_DIST, PAD_REAL_DIST
+
+        mi, mj = mask[:, None], mask[None, :]
+        Dp = np.where(mi & mj, Dp, np.where(~mi & ~mj, PAD_PAD_DIST, PAD_REAL_DIST))
+        np.fill_diagonal(Dp, 0.0)
+        res = ward_linkage(jnp.asarray(Dp))
+        cuts = cutree_multi(
+            res.merges, jnp.asarray(n), jnp.asarray(mask), jnp.asarray(40),
+            minN=minN, ncand=ncand, nc_pad=nc_pad,
+        )
+        labels = np.asarray(cuts.labels)
+        ks = np.asarray(cuts.k)
+
+    Z = scipy_linkage(squareform(np.sqrt(np.maximum(d, 0)), checks=False), "ward")
+    for ci in range(ncand):
+        k = minN + ci
+        ref = fcluster(Z, t=k, criterion="maxclust")
+        mine = labels[ci][:n]
+        assert ks[ci] == k, f"k mismatch at candidate {ci}: {ks[ci]} != {k}"
+        assert adjusted_rand_score(ref, mine) == pytest.approx(1.0), f"cut k={k}"
+        # padded cells routed to the garbage slot
+        assert np.all(labels[ci][n:] == nc_pad - 1)
+
+
+def test_padding_invariance():
+    """Same data, different pad sizes -> identical real-cell labels."""
+    n, p = 41, 12
+    X, Xp1, mask1 = _random_problem(n, p, 2, npad=48)
+    _, Xp2, mask2 = _random_problem(n, p, 2, npad=80)
+
+    def run(Xp, mask):
+        D = pearson_distance(standardize_rows(Xp, mask), mask)
+        res = ward_linkage(D)
+        cuts = cutree_multi(
+            res.merges, jnp.asarray(n), mask, jnp.asarray(40),
+            minN=2, ncand=6, nc_pad=16,
+        )
+        return np.asarray(cuts.labels)[:, :n]
+
+    l1 = run(Xp1, mask1)
+    l2 = run(Xp2, mask2)
+    for ci in range(l1.shape[0]):
+        assert adjusted_rand_score(l1[ci], l2[ci]) == pytest.approx(1.0)
+
+
+def test_heights_monotone():
+    n, p = 50, 10
+    X, Xp, mask = _random_problem(n, p, 3, npad=64)
+    D = pearson_distance(standardize_rows(Xp, mask), mask)
+    res = ward_linkage(D)
+    h = np.asarray(res.heights)[: n - 1]
+    assert np.all(np.diff(h) >= -1e-5)

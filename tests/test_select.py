@@ -1,0 +1,125 @@
+"""Tests for batched silhouette/CH and the model-selection chain
+(sharp_tpu/ops/{silhouette,select}.py) vs sklearn on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.metrics import adjusted_rand_score, silhouette_samples
+
+from sharp_tpu.ops.distance import pearson_distance, standardize_rows
+from sharp_tpu.ops.silhouette import silhouette_median, masked_median
+from sharp_tpu.ops.select import opt_hclust
+
+
+def _blobs(n_per, centers, p, seed, spread=0.3):
+    rng = np.random.default_rng(seed)
+    X, y = [], []
+    for c in range(centers):
+        mu = rng.normal(size=p) * 3.0
+        X.append(mu + spread * rng.normal(size=(n_per, p)))
+        y.append(np.full(n_per, c))
+    X = np.concatenate(X).astype(np.float32)
+    y = np.concatenate(y)
+    perm = rng.permutation(len(y))
+    return X[perm], y[perm]
+
+
+def _pad(X, npad):
+    n, p = X.shape
+    Xp = np.zeros((npad, p), np.float32)
+    Xp[:n] = X
+    mask = np.zeros(npad, bool)
+    mask[:n] = True
+    return jnp.asarray(Xp), jnp.asarray(mask)
+
+
+def test_masked_median_matches_numpy():
+    rng = np.random.default_rng(0)
+    for n, npad in [(7, 12), (8, 8), (31, 40)]:
+        x = rng.normal(size=npad).astype(np.float32)
+        mask = np.zeros(npad, bool)
+        mask[:n] = True
+        got = masked_median(jnp.asarray(x), jnp.asarray(mask), jnp.asarray(n))
+        np.testing.assert_allclose(float(got), np.median(x[:n]), rtol=1e-6)
+
+
+def test_silhouette_matches_sklearn():
+    X, y = _blobs(15, 4, 8, seed=1)
+    n = len(y)
+    npad = 80
+    nc_pad = 16
+    Xp, mask = _pad(X, npad)
+    D = pearson_distance(standardize_rows(Xp, mask), mask)
+    D_real = jnp.where(mask[:, None] & mask[None, :], D, 0.0)
+    D_real = jnp.where(jnp.eye(npad, dtype=bool), 0.0, D_real)
+
+    labels = np.full(npad, nc_pad - 1, np.int32)
+    labels[:n] = y
+    got = float(
+        silhouette_median(
+            D_real, jnp.asarray(labels), mask, jnp.asarray(n), nc_pad
+        )
+    )
+    d_np = 1.0 - np.corrcoef(X)
+    np.fill_diagonal(d_np, 0.0)
+    ref = np.median(silhouette_samples(d_np, y, metric="precomputed"))
+    assert got == pytest.approx(ref, abs=1e-5)
+
+
+@pytest.mark.parametrize("true_k", [3, 5, 7])
+def test_opt_hclust_recovers_k(true_k):
+    X, y = _blobs(20, true_k, 16, seed=true_k)
+    n = len(y)
+    npad = 160
+    Xp, mask = _pad(X, npad)
+    res = opt_hclust(
+        Xp, mask, jnp.asarray(n), jnp.asarray(40),
+        symmetric=False, minN=2, ncand=12, nc_pad=16,
+    )
+    assert int(res.k) == true_k
+    assert adjusted_rand_score(y, np.asarray(res.labels)[:n]) == pytest.approx(1.0)
+    assert float(res.maxsil) > 0.5
+
+
+def test_fixed_N_cluster():
+    X, y = _blobs(20, 4, 16, seed=9)
+    n = len(y)
+    Xp, mask = _pad(X, 96)
+    res = opt_hclust(
+        Xp, mask, jnp.asarray(n), jnp.asarray(40),
+        symmetric=False, minN=2, ncand=10, nc_pad=16,
+        N_cluster=jnp.asarray(2),
+    )
+    assert int(res.k) == 2
+
+
+def test_symmetric_similarity_input():
+    """Meta-clustering path: cluster a block-diagonal similarity matrix."""
+    rng = np.random.default_rng(0)
+    sizes = [6, 5, 7]
+    n = sum(sizes)
+    S = np.full((n, n), 0.05, np.float32)
+    start = 0
+    y = np.zeros(n, int)
+    for ci, sz in enumerate(sizes):
+        S[start : start + sz, start : start + sz] = 0.9
+        y[start : start + sz] = ci
+        start += sz
+    S += rng.normal(scale=0.01, size=(n, n)).astype(np.float32)
+    S = (S + S.T) / 2
+    np.fill_diagonal(S, 1.0)
+
+    npad = 24
+    Sp = np.zeros((npad, npad), np.float32)
+    Sp[:n, :n] = S
+    mask = np.zeros(npad, bool)
+    mask[:n] = True
+
+    res = opt_hclust(
+        jnp.asarray(Sp), jnp.asarray(mask), jnp.asarray(n), jnp.asarray(40),
+        symmetric=True, minN=2, ncand=8, nc_pad=8,
+        sil_thre=0.0,
+    )
+    assert int(res.k) == 3
+    assert adjusted_rand_score(y, np.asarray(res.labels)[:n]) == pytest.approx(1.0)
