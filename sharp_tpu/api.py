@@ -1,0 +1,100 @@
+"""Public API: `sharp`, `sharp_unlimited`, `run_mtimes`.
+
+Mirrors the reference entry points (R/SHARP.R:44, R/SHARP_unlimited*.R,
+R/run_Mtimes_SHARP.R) with the same knob names and auto-defaults.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from sharp_tpu.config import SharpConfig, resolve_config
+from sharp_tpu.core.pipeline import preprocess, sharp_small
+from sharp_tpu.types import SharpResult
+from sharp_tpu.utils.prng import seed_to_key
+from sharp_tpu.utils.timers import StageTimer
+
+
+def sharp(
+    X: np.ndarray,
+    *,
+    gene_names: Optional[np.ndarray] = None,
+    cell_names: Optional[np.ndarray] = None,
+    cells_axis: int = 0,
+    **knobs,
+) -> SharpResult:
+    """Cluster a cells-by-genes expression matrix (~ SHARP(), R/SHARP.R:44).
+
+    Accepts the reference knobs as keyword args (`ensize_K`, `reduced_ndim`,
+    `base_ncells`, `partition_ncells`, `N_cluster`, `minN_cluster`,
+    `maxN_cluster`, `sil_thre`, `height_Ntimes`, `prep`, `logflag`,
+    `exp_type`, `rN_seed`, `forview`, ...). Dispatches small/large on
+    `base_ncells` exactly like the reference (R/SHARP.R:251-280).
+
+    cells_axis=1 accepts the reference's genes-by-cells orientation.
+    """
+    X = np.asarray(X)
+    if X.ndim != 2:
+        raise ValueError("X must be 2-D (cells x genes)")
+    if cells_axis == 1:
+        X = X.T
+        gene_names, cell_names = gene_names, cell_names
+
+    timer = StageTimer()
+    n, g = X.shape
+    cfg = resolve_config(n, g, **knobs)
+    key = seed_to_key(cfg.rN_seed)
+
+    with timer.stage("preprocess"):
+        X = preprocess(X, cfg, gene_names=gene_names, cell_names=cell_names)
+        cfg = cfg.replace(n_genes=X.shape[1])
+
+    if cfg.is_small:
+        return sharp_small(X, cfg, key, timer)
+    from sharp_tpu.core.large import sharp_large
+
+    return sharp_large(X, cfg, key, timer)
+
+
+def sharp_unlimited(
+    blocks: Union[Sequence[np.ndarray], "str"],
+    *,
+    n_cells: Optional[int] = None,
+    n_genes: Optional[int] = None,
+    **knobs,
+) -> SharpResult:
+    """Blocked / out-of-core path (~ SHARP_unlimited{,3}, R/SHARP_unlimited.R:29).
+
+    `blocks` is a list of cells-by-genes matrices, or a directory of stored
+    block files (the out-of-core SHARP_unlimited3 analog,
+    R/SHARP_unlimited3.R:59-131).
+    """
+    from sharp_tpu.parallel.streaming import sharp_unlimited as _impl
+
+    return _impl(blocks, n_cells=n_cells, n_genes=n_genes, **knobs)
+
+
+def run_mtimes(
+    X: np.ndarray,
+    mtimes: int = 5,
+    k_set: Sequence[int] = (15,),
+    **knobs,
+) -> List[List[SharpResult]]:
+    """Grid-run sharp `mtimes` x len(k_set) times for variance studies
+    (~ run_Mtimes_SHARP, R/run_Mtimes_SHARP.R:20-60)."""
+    out = []
+    for K in k_set:
+        row = []
+        for m in range(mtimes):
+            seed = knobs.pop("rN_seed", None)
+            res = sharp(
+                X,
+                ensize_K=K,
+                rN_seed=(None if seed is None else seed + m),
+                **knobs,
+            )
+            row.append(res)
+        out.append(row)
+    return out

@@ -58,7 +58,12 @@ class SharpConfig:
     sil_thre: float = 0.35         # sil.thre     (R/SHARP.R:149-152)
     height_Ntimes: float = 2.0     # height.Ntimes (R/SHARP.R:154-157)
     prep: bool = False             # negative clamp + all-zero-gene drop (R/SHARP.R:74-80,99-106)
-    logflag: Optional[bool] = None  # None => decide via testlog (R/SHARP.R:202-228)
+    # logflag semantics mirror R/SHARP.R:202-228: it controls whether the
+    # testlog *check* runs. None => auto (check when n<1e4, else transform
+    # unconditionally); True => run the check; False => log-transform without
+    # checking. Use `log_transform` to force the final decision directly.
+    logflag: Optional[bool] = None
+    log_transform: Optional[bool] = None   # explicit final decision override
     exp_type: Optional[str] = None  # "count"|"CPM"|"TPM"|"FPKM"|... (R/SHARP.R:110-117)
     rN_seed: Optional[int] = None   # None => nonreproducible sentinel (R/SHARP.R:169-179)
     forview: bool = True           # keep viE/x0 for visualization (R/SHARP.R:445-449)
@@ -116,10 +121,11 @@ def resolve_config(
         kw["maxN_cluster"] = max(40, math.ceil(n_cells / 5000))
     if "prep" not in kw:
         kw["prep"] = n_cells < 1e4
-    if n_cells >= 1e4 and kw.get("logflag") is None:
-        # reference skips the testlog heuristic at >=1e4 cells and does not
-        # log-transform unless told (R/SHARP.R:202-209)
-        kw["logflag"] = False
+    if kw.get("log_transform") is None and kw.get("logflag") is None:
+        # reference runs the testlog check only under 1e4 cells; above that
+        # it log-transforms unconditionally (R/SHARP.R:202-228)
+        if n_cells >= 1e4:
+            kw["log_transform"] = True
 
     if not kw.get("block_pad"):
         pn = kw.get("partition_ncells", cfg.partition_ncells)

@@ -1,0 +1,45 @@
+"""End-to-end small-path pipeline tests (the reference's own smoke test is
+Wang pancreas 479x~20k -> ARI >= 0.92, README.md:94-108; the TPM matrix is
+a stripped blob in this mount so the gate runs on TPM-like synthetic data
+of the same shape class)."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import adjusted_rand_score
+
+from sharp_tpu import sharp
+from tests.synth import make_tpm_like
+
+
+def test_small_path_golden_ari():
+    X, y = make_tpm_like(n_cells=479, n_genes=2000, n_types=7, seed=3)
+    res = sharp(X, rN_seed=2103, exp_type="TPM")
+    assert len(res.pred_clusters) == 479
+    ari = adjusted_rand_score(y, res.pred_clusters)
+    assert ari >= 0.92, f"ARI {ari:.4f} below golden gate"
+    assert res.N_pred_cluster == len(res.unique_pred_clusters)
+    assert sum(res.distr_pred_clusters.values()) == 479
+    assert res.viE.shape[0] == 479
+    assert res.x0.shape[0] == 479
+    assert res.paras["ensize_K"] == 15
+
+
+def test_reproducible_with_seed():
+    X, y = make_tpm_like(n_cells=200, n_genes=500, n_types=4, seed=5)
+    r1 = sharp(X, rN_seed=42, ensize_K=5)
+    r2 = sharp(X, rN_seed=42, ensize_K=5)
+    np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
+
+
+def test_fixed_N_cluster():
+    X, y = make_tpm_like(n_cells=150, n_genes=400, n_types=3, seed=7)
+    res = sharp(X, rN_seed=1, ensize_K=5, N_cluster=3)
+    assert res.N_pred_cluster == 3
+
+
+def test_labels_one_based_contiguous():
+    X, y = make_tpm_like(n_cells=120, n_genes=300, n_types=3, seed=11)
+    res = sharp(X, rN_seed=9, ensize_K=5)
+    u = np.unique(res.pred_clusters)
+    assert u.min() == 1
+    assert np.array_equal(u, np.arange(1, len(u) + 1))
