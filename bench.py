@@ -1,0 +1,143 @@
+"""SHARP-TPU benchmark: cells/s through the full clustering pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference publishes a single per-cell rate — the Wang
+pancreas run, 479 cells in 0.16285 min = 49.0 cells/s on an i5-7300U
+(reference README.md:97-103). `vs_baseline` is our cells/s over that rate.
+
+The workload mirrors the reference's 1.3M-cell configuration class
+(blocks of cells x 27,998 genes, shared-RP ensemble K=5, fold size 2000,
+per-fold Ward + wMetaC, global sMetaC — README.md:287-303), scaled by
+SHARP_BENCH_CELLS (default 65,536). Synthetic expression is generated
+*on device* so the bench measures the compute path, not host RAM limits;
+ARI vs the planted types is reported alongside throughput.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_cells = int(os.environ.get("SHARP_BENCH_CELLS", 65536))
+    n_genes = int(os.environ.get("SHARP_BENCH_GENES", 27998))
+    n_types = int(os.environ.get("SHARP_BENCH_TYPES", 12))
+    K = int(os.environ.get("SHARP_BENCH_K", 5))
+    p = int(os.environ.get("SHARP_BENCH_P", 256))
+    fold = int(os.environ.get("SHARP_BENCH_FOLD", 2000))
+
+    import jax
+    import jax.numpy as jnp
+
+    from sharp_tpu.config import resolve_config, pad_dim
+    from sharp_tpu.core.fold import fold_program, fold_static_args
+    from sharp_tpu.core.large import fold_sizes, fuse_folds, summary_to_host
+    from sharp_tpu.ops.rp import ensemble_rp_matrix
+    from sharp_tpu.types import finalize_labels
+    from sharp_tpu.analysis.ari import ari
+
+    cfg = resolve_config(
+        n_cells, n_genes, ensize_K=K, reduced_ndim=p,
+        partition_ncells=fold, rN_seed=7, dtype_compute="bfloat16",
+    )
+    sizes = fold_sizes(n_cells, cfg.partition_ncells)
+    T = len(sizes)
+    B = pad_dim(max(sizes))
+    static = fold_static_args(cfg)
+
+    # --- on-device synthetic expression ---------------------------------
+    # lognormal base profile, equidistant signed DE programs (same design
+    # as tests/synth.py), dropout, TPM scaling
+    kroot = jax.random.PRNGKey(123)
+    kb, kde, ksign = jax.random.split(kroot, 3)
+    base = jnp.exp(1.0 + 1.0 * jax.random.normal(kb, (n_genes,)))
+    de_mask = jax.random.uniform(kde, (n_genes,)) < 0.35
+    signs = jax.random.choice(
+        ksign, jnp.asarray([-1.0, 1.0]), shape=(n_types, n_genes)
+    )
+    lfc = 6.0
+    type_means = base[None, :] * jnp.where(
+        de_mask[None, :], 2.0 ** (signs * lfc), 1.0
+    )
+
+    def gen_fold(t, n_real):
+        kf = jax.random.fold_in(jax.random.PRNGKey(999), t)
+        k1, k2, k3 = jax.random.split(kf, 3)
+        y = jax.random.randint(k1, (B,), 0, n_types)
+        noise = jnp.exp(0.3 * jax.random.normal(k2, (B, n_genes)))
+        keep = jax.random.uniform(k3, (B, n_genes)) > 0.2
+        X = type_means[y] * noise * keep
+        X = X / jnp.maximum(jnp.sum(X, axis=1, keepdims=True), 1e-9) * 1e6
+        return X.astype(jnp.float32), y
+
+    gen_fold_j = jax.jit(gen_fold, static_argnums=())
+
+    R_all = ensemble_rp_matrix(
+        jax.random.PRNGKey(7), K, n_genes, p, dtype=jnp.bfloat16
+    )
+
+    run_fold = jax.jit(
+        lambda X, mask, nr, logf: fold_program(
+            X, mask, nr, R_all, logf, None, has_indN=False, **static
+        )
+    )
+
+    # --- warmup / compile ------------------------------------------------
+    mask0 = jnp.arange(B) < sizes[0]
+    X0, _ = gen_fold_j(0, sizes[0])
+    t0 = time.time()
+    _ = jax.block_until_ready(
+        run_fold(X0, mask0, jnp.asarray(sizes[0]), jnp.asarray(True))
+    )
+    compile_s = time.time() - t0
+
+    # --- timed run -------------------------------------------------------
+    truth = []
+    t0 = time.time()
+    frs = []
+    for t, sz in enumerate(sizes):
+        X, y = gen_fold_j(t, sz)
+        mask = jnp.arange(B) < sz
+        s = run_fold(X, mask, jnp.asarray(sz), jnp.asarray(True))
+        s = jax.block_until_ready(s)
+        truth.append(np.asarray(y)[:sz])
+        frs.append(summary_to_host(s, sz))
+    fold_pass_s = time.time() - t0
+
+    raw_labels, n_final, _ = fuse_folds(frs, cfg, n_total=n_cells)
+    labels = finalize_labels(raw_labels, merge_tiny=True)
+    total_s = time.time() - t0
+    truth = np.concatenate(truth)
+    score = ari(truth, labels)
+
+    cells_per_s = n_cells / total_s
+    baseline = 479 / 9.771  # reference Wang-pancreas rate (cells/s)
+    out = {
+        "metric": "cells_per_second_end_to_end",
+        "value": round(cells_per_s, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_s / baseline, 1),
+        "detail": {
+            "n_cells": n_cells,
+            "n_genes": n_genes,
+            "n_folds": T,
+            "ensemble_K": K,
+            "reduced_dim": p,
+            "ari_vs_planted_types": round(float(score), 4),
+            "n_clusters_found": int(n_final),
+            "fold_pass_seconds": round(fold_pass_s, 2),
+            "total_seconds": round(total_s, 2),
+            "compile_seconds": round(compile_s, 2),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,102 @@ def ward_linkage(D: jax.Array) -> LinkageResult:
     return LinkageResult(merges=merges, heights=heights)
 
 
+@jax.jit
+def ward_linkage_fast(D: jax.Array) -> LinkageResult:
+    """ward.D agglomeration with lazy row-minimum caching — O(n^2) typical.
+
+    Same output as `ward_linkage`, but the per-step global argmin over the
+    (n, n) matrix is replaced by an argmin over an (n,) row-minimum cache
+    with fastcluster-style lazy revalidation. Invariant: rowmin[k] is
+    always a LOWER BOUND on the true minimum of row k (ward.D updates can
+    only raise an entry above min(d_ik, d_jk) >= the old row min, and
+    removed columns only delete candidates), so popping the smallest
+    cached value and revalidating just that row until it is exact yields
+    the true global minimum. Revalidations read stored matrix entries —
+    no recomputed arithmetic — so staleness checks are exact comparisons.
+    """
+    n = D.shape[-1]
+    D = _prep_matrix(D)
+    ar = jnp.arange(n)
+
+    rowmin0 = jnp.min(D, axis=1)
+    rowarg0 = jnp.argmin(D, axis=1).astype(jnp.int32)
+
+    def step(t, carry):
+        D, active, sizes, rowmin, rowarg, merges, heights = carry
+
+        # --- pop + lazy revalidation loop --------------------------------
+        def reval_cond(state):
+            rowmin, rowarg, done = state
+            return jnp.logical_not(done)
+
+        def reval_body(state):
+            rowmin, rowarg, _ = state
+            i0 = jnp.argmin(rowmin)
+            row = D[i0]
+            m = jnp.min(row)
+            a = jnp.argmin(row).astype(jnp.int32)
+            exact = m <= rowmin[i0]  # stored == true min (can't be larger)
+            rowmin = rowmin.at[i0].set(m)
+            rowarg = rowarg.at[i0].set(a)
+            return rowmin, rowarg, exact
+
+        rowmin, rowarg, _ = jax.lax.while_loop(
+            reval_cond, reval_body, (rowmin, rowarg, jnp.asarray(False))
+        )
+
+        i0 = jnp.argmin(rowmin)
+        j0 = rowarg[i0]
+        i = jnp.minimum(i0, j0)
+        j = jnp.maximum(i0, j0)
+        h = rowmin[i0]
+
+        # --- Lance-Williams update --------------------------------------
+        ni = sizes[i]
+        nj = sizes[j]
+        nk = sizes
+        dik = D[i, :]
+        djk = D[j, :]
+        formula = ((ni + nk) * dik + (nj + nk) * djk - nk * h) / (ni + nj + nk)
+        valid = active & (ar != i) & (ar != j)
+        newrow = jnp.where(valid, formula, BIG)
+
+        D = D.at[i, :].set(newrow)
+        D = D.at[:, i].set(newrow)
+        D = D.at[j, :].set(BIG)
+        D = D.at[:, j].set(BIG)
+        active = active.at[j].set(False)
+        sizes = sizes.at[i].set(ni + nj)
+        merges = merges.at[t, 0].set(i.astype(jnp.int32))
+        merges = merges.at[t, 1].set(j.astype(jnp.int32))
+        heights = heights.at[t].set(h)
+
+        # --- cache maintenance -------------------------------------------
+        # other rows: only column i changed (to newrow) and column j died;
+        # lower-bound invariant keeps stale entries safe, exact improvements
+        # are recorded eagerly
+        better = newrow < rowmin
+        rowmin = jnp.where(better, newrow, rowmin)
+        rowarg = jnp.where(better, i.astype(jnp.int32), rowarg)
+        # row i: exact from its fresh row; row j: dead
+        rowmin = rowmin.at[i].set(jnp.min(newrow))
+        rowarg = rowarg.at[i].set(jnp.argmin(newrow).astype(jnp.int32))
+        rowmin = rowmin.at[j].set(BIG)
+        return D, active, sizes, rowmin, rowarg, merges, heights
+
+    init = (
+        D,
+        jnp.ones((n,), dtype=bool),
+        jnp.ones((n,), dtype=D.dtype),
+        rowmin0,
+        rowarg0,
+        jnp.zeros((n - 1, 2), dtype=jnp.int32),
+        jnp.zeros((n - 1,), dtype=D.dtype),
+    )
+    out = jax.lax.fori_loop(0, n - 1, step, init)
+    return LinkageResult(merges=out[5], heights=out[6])
+
+
 class CutForest(NamedTuple):
     labels: jax.Array        # (ncand, n_pad) int32 dense labels in [0, k); pads -> nc_pad-1
     k: jax.Array             # (ncand,) int32 actual cluster count per candidate
@@ -172,6 +268,11 @@ def real_heights_tail(heights: jax.Array, n_real: jax.Array, tail: int = 10):
     (window (tail,), valid (tail,) bool).
     """
     m = heights.shape[0]
+    if m < tail:  # tiny problems: pad so the window always exists
+        heights = jnp.concatenate(
+            [heights, jnp.zeros((tail - m,), heights.dtype)]
+        )
+        m = tail
     start = jnp.clip(n_real - 1 - tail, 0, max(m - tail, 0))
     window = jax.lax.dynamic_slice(heights, (start,), (tail,))
     merge_idx = start + jnp.arange(tail)

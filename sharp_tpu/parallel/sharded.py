@@ -68,15 +68,14 @@ def process_folds_sharded(
         in_shardings=(data_sh, data_sh, data_sh, repl_sh, repl_sh),
         out_shardings=data_sh,
     )
-    with jax.sharding.use_mesh(mesh):
-        out: FoldSummary = jfn(
-            jnp.asarray(X_folds),
-            jnp.asarray(masks),
-            jnp.asarray(n_reals),
-            R_all,
-            jnp.asarray(logf),
-        )
-        out = jax.block_until_ready(out)
+    out: FoldSummary = jfn(
+        jnp.asarray(X_folds),
+        jnp.asarray(masks),
+        jnp.asarray(n_reals),
+        R_all,
+        jnp.asarray(logf),
+    )
+    out = jax.block_until_ready(out)
 
     results = []
     for t in range(T):

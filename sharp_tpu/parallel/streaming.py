@@ -1,0 +1,232 @@
+"""Out-of-core / blocked clustering: the SHARP_unlimited family.
+
+Mirrors R/SHARP_unlimited.R:29-242 and the streaming variant
+R/SHARP_unlimited3.R:59-131: shared RP matrices across all blocks, one
+block resident at a time, per-block full pipeline, then one global sMetaC
+over block-cluster centroids; final clusters relabelled by decreasing size
+(R/SHARP_unlimited.R:179-183).
+
+Additions beyond the reference (SURVEY.md §5.3-5.4):
+  * double-buffered host I/O — the next block loads on a worker thread
+    while the device clusters the current one;
+  * a per-block completion manifest: each finished block persists its
+    summary (labels + cluster centroids, O(n_b + C*p) bytes), so a killed
+    multi-hour run resumes at the last finished block.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import hashlib
+import json
+import os
+from typing import List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from sharp_tpu.config import SharpConfig, pad_dim, resolve_config
+from sharp_tpu.core.large import (
+    fold_sizes,
+    fuse_folds,
+    process_fold,
+)
+from sharp_tpu.core.smetac import smetac, smetac_range
+from sharp_tpu.io.blocks import BlockStore
+from sharp_tpu.ops.rp import ensemble_rp_matrix
+from sharp_tpu.types import SharpResult
+from sharp_tpu.utils.prng import seed_to_key
+from sharp_tpu.utils.timers import StageTimer, log
+
+
+def _config_fingerprint(cfg: SharpConfig) -> str:
+    keys = (
+        "reduced_ndim", "ensize_K", "partition_ncells", "minN_cluster",
+        "maxN_cluster", "sil_thre", "height_Ntimes", "rN_seed", "nc_pad",
+    )
+    payload = json.dumps({k: getattr(cfg, k) for k in keys}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _process_block(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool):
+    """Full per-block pipeline: fold partition -> fold program -> in-block
+    fuse. Returns (labels (nb,), centroids (C, p), sizes (C,))."""
+    nb = Xb.shape[0]
+    sizes = fold_sizes(nb, cfg.partition_ncells)
+    block_pad = pad_dim(max(sizes))
+    frs = []
+    off = 0
+    for sz in sizes:
+        frs.append(
+            process_fold(Xb[off : off + sz], sz, block_pad, R_all, cfg, logf)
+        )
+        off += sz
+    labels, n_final, _ = fuse_folds(frs, cfg, n_total=nb)
+    # block-cluster centroids in the shared mean-RP feature space
+    mean_proj = np.concatenate([fr["mean_proj"] for fr in frs], axis=0)
+    uniq = np.unique(labels)
+    cents = np.stack([mean_proj[labels == c].mean(axis=0) for c in uniq])
+    counts = np.asarray([(labels == c).sum() for c in uniq])
+    # re-encode labels as positions into `uniq`
+    pos = np.searchsorted(uniq, labels)
+    return pos.astype(np.int32), cents.astype(np.float32), counts
+
+
+def sharp_unlimited(
+    blocks: Union[Sequence[np.ndarray], str],
+    *,
+    n_cells: Optional[int] = None,
+    n_genes: Optional[int] = None,
+    manifest_dir: Optional[str] = None,
+    resume: bool = True,
+    **knobs,
+) -> SharpResult:
+    timer = StageTimer()
+
+    # --- resolve input form ---------------------------------------------
+    store: Optional[BlockStore] = None
+    if isinstance(blocks, str):
+        store = BlockStore(blocks)
+        info = store.shape_info()
+        files = store.files()
+        n_blocks = len(files)
+        if info:
+            n_cells = n_cells or info["n_cells"]
+            n_genes = n_genes or info["n_genes"]
+        if manifest_dir is None:
+            manifest_dir = os.path.join(blocks, ".sharp_manifest")
+    else:
+        blocks = list(blocks)
+        if len(blocks) == 1:
+            from sharp_tpu.api import sharp
+
+            return sharp(np.asarray(blocks[0]), **knobs)
+        n_blocks = len(blocks)
+        n_cells = n_cells or sum(b.shape[0] for b in blocks)
+        n_genes = n_genes or blocks[0].shape[1]
+    if n_cells is None or n_genes is None:
+        # one cheap metadata pass over files
+        n_cells, n_genes = 0, None
+        for f in files:
+            b = BlockStore.load(f)
+            n_cells += b.shape[0]
+            n_genes = b.shape[1]
+
+    knobs.setdefault("forview", False)
+    cfg = resolve_config(n_cells, n_genes, **knobs)
+    # blocks are preprocessed upstream in the reference path
+    # (SHARP called with prep=FALSE, logflag=FALSE -> log employed)
+    logf = True if cfg.log_transform is None else bool(cfg.log_transform)
+    key = seed_to_key(cfg.rN_seed)
+    fingerprint = _config_fingerprint(cfg)
+    if manifest_dir:
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    with timer.stage("rp_setup"):
+        R_all = ensemble_rp_matrix(
+            key, cfg.ensize_K, n_genes, cfg.reduced_ndim,
+            dtype=jax.numpy.dtype(cfg.dtype_compute),
+        )
+
+    def load_block(i):
+        if store is not None:
+            return BlockStore.load(files[i])
+        return np.asarray(blocks[i], np.float32)
+
+    def manifest_path(i):
+        return (
+            os.path.join(manifest_dir, f"block_{i:05d}_{fingerprint}.npz")
+            if manifest_dir
+            else None
+        )
+
+    # --- per-block pass with prefetch + manifest resume ------------------
+    block_results = []
+    with timer.stage("block_pass"):
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            future = None
+
+            def want(i):
+                mp = manifest_path(i)
+                return not (resume and mp and os.path.exists(mp))
+
+            nxt = 0
+            prefetched_for = None
+            for i in range(n_blocks):
+                mp = manifest_path(i)
+                if not want(i):
+                    z = np.load(mp)
+                    block_results.append(
+                        (z["labels"], z["cents"], z["counts"])
+                    )
+                    log(f"block {i}: resumed from manifest")
+                    continue
+                if prefetched_for == i and future is not None:
+                    Xb = future.result()
+                else:
+                    Xb = load_block(i)
+                # prefetch the next needed block
+                nxt = next((j for j in range(i + 1, n_blocks) if want(j)), None)
+                future = (
+                    pool.submit(load_block, nxt) if nxt is not None else None
+                )
+                prefetched_for = nxt
+
+                labels, cents, counts = _process_block(Xb, cfg, R_all, logf)
+                if mp:
+                    np.savez(mp, labels=labels, cents=cents, counts=counts)
+                block_results.append((labels, cents, counts))
+                log(f"block {i}: {len(labels)} cells -> {len(counts)} clusters")
+
+    # --- global sMetaC over block-cluster centroids ----------------------
+    with timer.stage("global_smetac"):
+        all_cents = np.concatenate([c for _, c, _ in block_results], axis=0)
+        all_counts = np.concatenate([n for _, _, n in block_results])
+        NC = all_cents.shape[0]
+        NC_pad = pad_dim(max(NC, 8))
+        cents_p = np.zeros((NC_pad, all_cents.shape[1]), np.float32)
+        cents_p[:NC] = all_cents
+        valid = np.zeros(NC_pad, bool)
+        valid[:NC] = True
+
+        minN, maxN = smetac_range(
+            cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, NC
+        )
+        maxN = min(maxN, NC - 1) if NC > 1 else 1
+        ncand = max(maxN - minN + 1, 1)
+        meta_nc_pad = ((min(maxN, NC) + 9) // 8) * 8
+        sres = smetac(
+            jax.numpy.asarray(cents_p), jax.numpy.asarray(valid),
+            jax.numpy.asarray(NC), jax.numpy.asarray(maxN),
+            minN=minN, ncand=ncand, meta_nc_pad=meta_nc_pad,
+            sil_thre=cfg.sil_thre, height_Ntimes=cfg.height_Ntimes,
+            finalN_cluster=(
+                jax.numpy.asarray(cfg.N_cluster)
+                if cfg.N_cluster is not None
+                else None
+            ),
+        )
+        tf = np.asarray(sres.tf)
+
+    with timer.stage("finalize"):
+        parts = []
+        offset = 0
+        for labels, cents, counts in block_results:
+            parts.append(tf[offset + labels])
+            offset += len(counts)
+        raw = np.concatenate(parts)
+        # relabel by decreasing cluster size (R/SHARP_unlimited.R:179-183)
+        vals, cnts = np.unique(raw, return_counts=True)
+        order = vals[np.argsort(-cnts)]
+        remap = {v: i + 1 for i, v in enumerate(order)}
+        final = np.asarray([remap[v] for v in raw], np.int32)
+        vals, cnts = np.unique(final, return_counts=True)
+
+    return SharpResult(
+        pred_clusters=final,
+        N_pred_cluster=len(vals),
+        unique_pred_clusters=[int(v) for v in vals],
+        distr_pred_clusters={int(v): int(c) for v, c in zip(vals, cnts)},
+        paras=cfg.as_dict(),
+        timing=timer.as_dict(),
+    )

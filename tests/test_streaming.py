@@ -1,0 +1,72 @@
+"""Out-of-core / blocked path tests (sharp_unlimited + BlockStore)."""
+
+import os
+
+import numpy as np
+import pytest
+from sklearn.metrics import adjusted_rand_score
+
+from sharp_tpu import sharp_unlimited
+from sharp_tpu.io.blocks import BlockStore, save_blocks
+from tests.synth import make_tpm_like
+
+
+@pytest.fixture(scope="module")
+def blocked_data():
+    X, y = make_tpm_like(n_cells=1000, n_genes=600, n_types=5, seed=41)
+    # three uneven blocks
+    blocks = [X[:400], X[400:700], X[700:]]
+    return X, y, blocks
+
+
+def test_blockstore_roundtrip(tmp_path, blocked_data):
+    X, y, blocks = blocked_data
+    d = str(tmp_path / "blocks")
+    save_blocks(d, blocks)
+    store = BlockStore(d)
+    info = store.shape_info()
+    assert info["n_cells"] == 1000
+    assert info["n_genes"] == 600
+    assert info["n_blocks"] == 3
+    files = store.files()
+    assert len(files) == 3
+    loaded = [BlockStore.load(f) for f in files]
+    for a, b in zip(loaded, blocks):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_unlimited_list_input(blocked_data):
+    X, y, blocks = blocked_data
+    res = sharp_unlimited(
+        blocks, rN_seed=19, ensize_K=4, partition_ncells=250,
+        base_ncells=300,
+    )
+    assert len(res.pred_clusters) == 1000
+    ari = adjusted_rand_score(y, res.pred_clusters)
+    assert ari >= 0.85, f"unlimited ARI {ari:.4f}"
+    # relabelled by decreasing size: cluster 1 is the biggest
+    sizes = [res.distr_pred_clusters[c] for c in sorted(res.distr_pred_clusters)]
+    assert sizes[0] == max(sizes)
+
+
+def test_unlimited_directory_and_resume(tmp_path, blocked_data):
+    X, y, blocks = blocked_data
+    d = str(tmp_path / "blocks")
+    save_blocks(d, blocks)
+    kw = dict(rN_seed=19, ensize_K=4, partition_ncells=250, base_ncells=300)
+    r1 = sharp_unlimited(d, **kw)
+    manifest = os.path.join(d, ".sharp_manifest")
+    assert len(os.listdir(manifest)) == 3
+    # second run resumes entirely from the manifest and must agree
+    r2 = sharp_unlimited(d, **kw)
+    np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
+    # a different config fingerprint must NOT reuse the manifest
+    r3 = sharp_unlimited(d, rN_seed=20, ensize_K=4,
+                         partition_ncells=250, base_ncells=300)
+    assert len(os.listdir(manifest)) == 6
+
+
+def test_unlimited_single_matrix_degrades():
+    X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=3, seed=2)
+    res = sharp_unlimited([X], rN_seed=4, ensize_K=4)
+    assert len(res.pred_clusters) == 200
