@@ -80,18 +80,35 @@ def main():
         jax.random.PRNGKey(7), K, n_genes, p, dtype=jnp.bfloat16
     )
 
-    run_fold = jax.jit(
-        lambda X, mask, nr, logf: fold_program(
-            X, mask, nr, R_all, logf, None, has_indN=False, **static
-        )
-    )
+    GROUP = int(os.environ.get("SHARP_BENCH_GROUP", 8))
+    GROUP = min(GROUP, T)
+
+    def run_group(Xg, masks, nrs):
+        def one(X, m, nr):
+            return fold_program(
+                X, m, nr, R_all, jnp.asarray(True), None,
+                has_indN=False, **static,
+            )
+
+        return jax.vmap(one)(Xg, masks, nrs)
+
+    run_group_j = jax.jit(run_group)
+
+    def gen_group(g0, gsizes):
+        Xs, ys, ms = [], [], []
+        for gi, sz in enumerate(gsizes):
+            X, y = gen_fold_j(g0 + gi, sz)
+            Xs.append(X)
+            ys.append(y)
+            ms.append(jnp.arange(B) < sz)
+        return jnp.stack(Xs), ys, jnp.stack(ms)
 
     # --- warmup / compile ------------------------------------------------
-    mask0 = jnp.arange(B) < sizes[0]
-    X0, _ = gen_fold_j(0, sizes[0])
+    g_sizes0 = sizes[:GROUP] + [sizes[0]] * (GROUP - len(sizes[:GROUP]))
+    Xg, ys, ms = gen_group(0, g_sizes0)
     t0 = time.time()
     _ = jax.block_until_ready(
-        run_fold(X0, mask0, jnp.asarray(sizes[0]), jnp.asarray(True))
+        run_group_j(Xg, ms, jnp.asarray(g_sizes0, jnp.int32))
     )
     compile_s = time.time() - t0
 
@@ -99,13 +116,17 @@ def main():
     truth = []
     t0 = time.time()
     frs = []
-    for t, sz in enumerate(sizes):
-        X, y = gen_fold_j(t, sz)
-        mask = jnp.arange(B) < sz
-        s = run_fold(X, mask, jnp.asarray(sz), jnp.asarray(True))
-        s = jax.block_until_ready(s)
-        truth.append(np.asarray(y)[:sz])
-        frs.append(summary_to_host(s, sz))
+    for g0 in range(0, T, GROUP):
+        gsizes = sizes[g0 : g0 + GROUP]
+        G = len(gsizes)
+        pad_sizes = gsizes + [gsizes[0]] * (GROUP - G)
+        Xg, ys, ms = gen_group(g0, pad_sizes)
+        out = run_group_j(Xg, ms, jnp.asarray(pad_sizes, jnp.int32))
+        out = jax.block_until_ready(out)
+        for gi, sz in enumerate(gsizes):
+            s = jax.tree.map(lambda a: a[gi], out)
+            truth.append(np.asarray(ys[gi])[:sz])
+            frs.append(summary_to_host(s, sz))
     fold_pass_s = time.time() - t0
 
     raw_labels, n_final, _ = fuse_folds(frs, cfg, n_total=n_cells)

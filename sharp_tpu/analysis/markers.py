@@ -97,6 +97,22 @@ def _gene_chunk_stats(Xg: jax.Array, oh: jax.Array, counts: jax.Array, *, C: int
     return dp, best.astype(jnp.int32), auc, z, fc
 
 
+class _BlockedColumns:
+    """Column-sliceable view over a list of row-blocks (cells split across
+    blocks, genes shared) — lets the chunked kernel stream blocked data."""
+
+    def __init__(self, blocks):
+        self.blocks = [np.asarray(b) for b in blocks]
+        g = {b.shape[1] for b in self.blocks}
+        if len(g) != 1:
+            raise ValueError("all blocks must share the gene dimension")
+        self.shape = (sum(b.shape[0] for b in self.blocks), g.pop())
+
+    def __getitem__(self, key):
+        rows, cols = key
+        return np.concatenate([b[rows, cols] for b in self.blocks], axis=0)
+
+
 def _holm(p: np.ndarray) -> np.ndarray:
     """Holm step-down adjustment (R p.adjust(method='holm'))."""
     m = len(p)
@@ -110,7 +126,7 @@ def _holm(p: np.ndarray) -> np.ndarray:
 
 
 def get_marker_genes(
-    X: np.ndarray,
+    X,
     y: Union[SharpResult, np.ndarray, Sequence[int]],
     *,
     gene_names: Optional[Sequence[str]] = None,
@@ -121,11 +137,16 @@ def get_marker_genes(
     chunk: int = 2048,
 ) -> MarkerResult:
     """Identify per-cluster marker genes (~ get_marker_genes,
-    R/get_marker_genes.R:25). X is cells x genes; `y` a SharpResult or a
-    label vector. Defaults match the reference (:36-54)."""
+    R/get_marker_genes.R:25). X is cells x genes — a single matrix, or a
+    list of row-blocks (the blocked variants get_marker_genes_unlimited*,
+    R/get_marker_genes_unlimited.R:25, are just more chunks here).
+    `y` a SharpResult or a label vector. Defaults match the reference
+    (:36-54)."""
     labels = np.asarray(
         y.pred_clusters if isinstance(y, SharpResult) else y
     )
+    if isinstance(X, (list, tuple)):
+        X = _BlockedColumns(X)
     n, D = X.shape
     uniq = np.unique(labels)
     C = len(uniq)

@@ -84,11 +84,11 @@ def run_mtimes(
 ) -> List[List[SharpResult]]:
     """Grid-run sharp `mtimes` x len(k_set) times for variance studies
     (~ run_Mtimes_SHARP, R/run_Mtimes_SHARP.R:20-60)."""
+    seed = knobs.pop("rN_seed", None)
     out = []
     for K in k_set:
         row = []
         for m in range(mtimes):
-            seed = knobs.pop("rN_seed", None)
             res = sharp(
                 X,
                 ensize_K=K,

@@ -211,14 +211,17 @@ def sharp_large(
             fold_results = process_folds_sharded(
                 X_folds, np.asarray(sizes), R_all, cfg, logf, mesh
             )
+        elif T > 1:
+            from sharp_tpu.parallel.sharded import process_folds_grouped
+
+            fold_results = process_folds_grouped(
+                X[perm], sizes, block_pad, R_all, cfg, logf,
+                group=min(8, T),
+            )
         else:
-            fold_results = []
-            off = 0
-            for t, sz in enumerate(sizes):
-                idx = perm[off : off + sz]
-                fr = process_fold(X[idx], sz, block_pad, R_all, cfg, logf)
-                fold_results.append(fr)
-                off += sz
+            fold_results = [
+                process_fold(X[perm], sizes[0], block_pad, R_all, cfg, logf)
+            ]
 
     with timer.stage("smetac"):
         raw_labels, n_final, x0 = fuse_folds(

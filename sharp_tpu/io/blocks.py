@@ -36,13 +36,17 @@ class BlockStore:
         names = [
             f
             for f in os.listdir(self.directory)
-            if f.endswith((".npz", ".npy")) and not f.startswith(".")
+            if f.endswith((".npz", ".npy", ".sblk")) and not f.startswith(".")
         ]
         names.sort(key=_numeric_key)
         return [os.path.join(self.directory, f) for f in names]
 
     @staticmethod
     def load(path: str) -> np.ndarray:
+        if path.endswith(".sblk"):
+            from sharp_tpu.io.native import densify
+
+            return densify(path)
         if path.endswith(".npy"):
             return np.load(path).astype(np.float32, copy=False)
         with np.load(path, allow_pickle=False) as z:
@@ -67,12 +71,30 @@ class BlockStore:
         return None
 
     # --- writing ---------------------------------------------------------
-    def write(self, blocks: Sequence[np.ndarray], compress: bool = False):
+    def write(
+        self,
+        blocks: Sequence[np.ndarray],
+        compress: bool = False,
+        fmt: str = "npz",
+    ):
+        """fmt="sblk" uses the native sparse codec (multithreaded mmap
+        densify at read time — the fast path for streaming runs)."""
         os.makedirs(self.directory, exist_ok=True)
         n_cells = 0
         n_genes = None
         save = np.savez_compressed if compress else np.savez
         for i, b in enumerate(blocks):
+            if fmt == "sblk":
+                from sharp_tpu.io.native import write_sblk
+
+                import scipy.sparse as sp
+
+                n_cells += b.shape[0]
+                n_genes = b.shape[1]
+                write_sblk(
+                    os.path.join(self.directory, f"block_{i:05d}.sblk"), b
+                )
+                continue
             b = np.asarray(b, np.float32)
             n_cells += b.shape[0]
             n_genes = b.shape[1]

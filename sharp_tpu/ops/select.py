@@ -31,7 +31,7 @@ from sharp_tpu.ops.distance import (
     _unit_rows,
 )
 from sharp_tpu.ops.linkage import (
-    ward_linkage,
+    ward_linkage_deferred as ward_linkage,
     cutree_multi,
     real_heights_tail,
 )

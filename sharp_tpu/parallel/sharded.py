@@ -36,6 +36,54 @@ def _batched_fold_fn(static: dict):
     return jax.vmap(one, in_axes=(0, 0, 0, None, None))
 
 
+def process_folds_grouped(
+    X: np.ndarray,           # (n, genes) permuted cells
+    sizes,                   # fold sizes
+    block_pad: int,
+    R_all: jax.Array,
+    cfg: SharpConfig,
+    logf: bool,
+    group: int = 8,
+) -> List[dict]:
+    """Single-device fold pass, `group` folds per jit call.
+
+    The linkage loop is latency-bound per step, so batching folds into the
+    vmapped fold program amortizes the sequential-step overhead across
+    group x K ensemble members.
+    """
+    T = len(sizes)
+    genes = X.shape[1]
+    static = fold_static_args(cfg)
+    fn = jax.jit(_batched_fold_fn(static))
+    results = []
+    off = 0
+    group = min(group, T)
+    for g0 in range(0, T, group):
+        gsizes = list(sizes[g0 : g0 + group])
+        G = len(gsizes)
+        # pad the last group to a fixed width so the jit never recompiles
+        pad_sizes = gsizes + [gsizes[0]] * (group - G)
+        Xg = np.zeros((group, block_pad, genes), np.float32)
+        for gi, sz in enumerate(gsizes):
+            Xg[gi, :sz] = X[off : off + sz]
+            off += sz
+        for gi in range(G, group):
+            Xg[gi] = Xg[0]
+        masks = np.arange(block_pad)[None, :] < np.asarray(pad_sizes)[:, None]
+        out = fn(
+            jnp.asarray(Xg),
+            jnp.asarray(masks),
+            jnp.asarray(np.asarray(pad_sizes, np.int32)),
+            R_all,
+            jnp.asarray(logf),
+        )
+        out = jax.block_until_ready(out)
+        for gi, sz in enumerate(gsizes):
+            s = jax.tree.map(lambda a: a[gi], out)
+            results.append(summary_to_host(s, int(sz)))
+    return results
+
+
 def process_folds_sharded(
     X_folds: np.ndarray,     # (T, B, genes)
     n_reals: np.ndarray,     # (T,)

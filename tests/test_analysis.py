@@ -99,6 +99,37 @@ def test_wilcoxon_p_matches_scipy():
     assert res.gallinfo["pvalue"][0] == pytest.approx(ref, rel=1e-3)
 
 
+def test_marker_genes_blocked_input_matches_full():
+    rng = np.random.default_rng(9)
+    n, D = 150, 120
+    y = rng.integers(1, 4, n)
+    X = rng.lognormal(0.5, 0.5, (n, D)).astype(np.float32)
+    X[np.ix_(y == 2, np.arange(10))] *= 20.0
+    full = get_marker_genes(X, y, chunk=50)
+    blocked = get_marker_genes([X[:60], X[60:110], X[110:]], y, chunk=50)
+    np.testing.assert_array_equal(
+        full.mginfo["gene_index"], blocked.mginfo["gene_index"]
+    )
+    np.testing.assert_allclose(
+        full.mginfo["auc"], blocked.mginfo["auc"], rtol=1e-6
+    )
+    np.testing.assert_allclose(full.mat, blocked.mat, rtol=1e-6)
+
+
+def test_run_mtimes():
+    from sharp_tpu import run_mtimes
+    from tests.synth import make_tpm_like
+
+    X, y = make_tpm_like(n_cells=120, n_genes=300, n_types=3, seed=15)
+    grid = run_mtimes(X, mtimes=2, k_set=[3, 5], rN_seed=11)
+    assert len(grid) == 2 and all(len(row) == 2 for row in grid)
+    assert grid[0][0].paras["ensize_K"] == 3
+    assert grid[1][0].paras["ensize_K"] == 5
+    # same seed offset per repeat is deterministic across K rows
+    assert grid[0][0].paras["rN_seed"] == 11
+    assert grid[0][1].paras["rN_seed"] == 12
+
+
 def test_percluster_split():
     X = np.arange(20, dtype=np.float32).reshape(10, 2)
     y = np.array([1, 1, 2, 2, 2, 1, 3, 3, 1, 2])

@@ -113,6 +113,45 @@ def test_padding_invariance():
         assert adjusted_rand_score(l1[ci], l2[ci]) == pytest.approx(1.0)
 
 
+@pytest.mark.parametrize("impl", ["fast", "deferred"])
+def test_fast_linkage_equals_reference_impl(impl):
+    """Lazy row-min cached / deferred-column linkage must reproduce the
+    full-argmin loop exactly (same merges, heights), padded and batched."""
+    from sharp_tpu.ops.linkage import ward_linkage_deferred, ward_linkage_fast
+
+    if impl == "fast":
+        ward_linkage_fast = ward_linkage_fast
+    else:
+        import functools
+
+        ward_linkage_fast = functools.partial(ward_linkage_deferred, flush=32)
+
+    rng = np.random.default_rng(7)
+    for n, nreal in [(64, 50), (128, 128)]:
+        X = np.zeros((n, 24), np.float32)
+        X[:nreal] = rng.normal(size=(nreal, 24))
+        mask = jnp.asarray(np.arange(n) < nreal)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r1 = ward_linkage(D)
+        r2 = ward_linkage_fast(D)
+        np.testing.assert_array_equal(
+            np.asarray(r1.merges)[: nreal - 1], np.asarray(r2.merges)[: nreal - 1]
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.heights)[: nreal - 1],
+            np.asarray(r2.heights)[: nreal - 1],
+            rtol=1e-6,
+        )
+    # batched (the ensemble axis)
+    K, n = 4, 96
+    Xb = jnp.asarray(rng.normal(size=(K, n, 16)), jnp.float32)
+    mask = jnp.ones(n, bool)
+    Db = jax.vmap(lambda x: pearson_distance(standardize_rows(x, mask), mask))(Xb)
+    rb1 = jax.vmap(ward_linkage)(Db)
+    rb2 = jax.vmap(ward_linkage_fast)(Db)
+    np.testing.assert_array_equal(np.asarray(rb1.merges), np.asarray(rb2.merges))
+
+
 def test_heights_monotone():
     n, p = 50, 10
     X, Xp, mask = _random_problem(n, p, 3, npad=64)
