@@ -113,6 +113,9 @@ def main():
     compile_s = time.time() - t0
 
     # --- timed run -------------------------------------------------------
+    profile_dir = os.environ.get("SHARP_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     truth = []
     t0 = time.time()
     frs = []
@@ -128,6 +131,8 @@ def main():
             truth.append(np.asarray(ys[gi])[:sz])
             frs.append(summary_to_host(s, sz))
     fold_pass_s = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     raw_labels, n_final, _ = fuse_folds(frs, cfg, n_total=n_cells)
     labels = finalize_labels(raw_labels, merge_tiny=True)

@@ -98,3 +98,31 @@ def run_mtimes(
             row.append(res)
         out.append(row)
     return out
+
+
+def summarize_mtimes(grid, truth=None) -> dict:
+    """Stability summary of a `run_mtimes` grid: per-K cluster-count
+    distribution, run-to-run agreement (mean pairwise ARI), and accuracy
+    vs `truth` when given — the run_Mtimes evaluation the reference uses
+    to characterize ARI variance (R/run_Mtimes_SHARP.R:20-60)."""
+    from sharp_tpu.analysis.ari import ari
+
+    summary = {}
+    for row in grid:
+        K = row[0].paras["ensize_K"]
+        ks = [r.N_pred_cluster for r in row]
+        pair = [
+            ari(row[a].pred_clusters, row[b].pred_clusters)
+            for a in range(len(row))
+            for b in range(a + 1, len(row))
+        ]
+        entry = {
+            "n_clusters": ks,
+            "pairwise_ari_mean": float(np.mean(pair)) if pair else 1.0,
+        }
+        if truth is not None:
+            vals = [ari(truth, r.pred_clusters) for r in row]
+            entry["truth_ari_mean"] = float(np.mean(vals))
+            entry["truth_ari_std"] = float(np.std(vals))
+        summary[int(K)] = entry
+    return summary
