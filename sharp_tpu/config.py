@@ -72,6 +72,7 @@ class SharpConfig:
     n_devices: int = 1             # replaces n.cores (R/SHARP.R:162-167)
     ensemble_axis: int = 1         # mesh partitioning of the K ensemble axis
     dtype_compute: str = "float32"  # matmul input dtype ("bfloat16" on real runs)
+    linkage_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_bf16"
     block_pad: int = 0             # static padded block size (cells per block)
     nc_pad: int = 64               # padded per-block cluster one-hot width (>= maxN+1)
     meta_nc_budget: int = 2048     # compaction budget for sMetaC global clusters

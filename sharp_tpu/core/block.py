@@ -29,7 +29,7 @@ class BlockEnsembleResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "minN", "ncand", "nc_pad"),
+    static_argnames=("K", "minN", "ncand", "nc_pad", "linkage_backend"),
 )
 def cluster_block_ensemble(
     X: jax.Array,           # (n_pad, genes) raw (not log) expression block
@@ -46,21 +46,49 @@ def cluster_block_ensemble(
     sil_thre: float = 0.35,
     height_Ntimes: float = 2.0,
     indN_cluster: Optional[jax.Array] = None,
+    linkage_backend: str = "xla",
 ) -> BlockEnsembleResult:
     Xt = jnp.where(log_transform, jnp.log2(1.0 + X), X)
     proj = rp_project_ensemble(Xt, R_all, K=K)          # (K, n_pad, p)
     proj = proj * real_mask[None, :, None].astype(proj.dtype)
 
-    def one(Z):
+    if linkage_backend == "auto":
+        # Pallas on TPU (f32 exact when the matrix fits VMEM, bf16 above);
+        # XLA loop elsewhere (CPU tests, interpret-unfriendly sizes)
+        n_pad = X.shape[0]
+        if jax.default_backend() == "tpu":
+            linkage_backend = "pallas" if n_pad <= 1024 else "pallas_bf16"
+        else:
+            linkage_backend = "xla"
+
+    link = None
+    if linkage_backend.startswith("pallas"):
+        # batched single-kernel linkage over all K members at once
+        from sharp_tpu.ops.distance import pearson_distance, standardize_rows
+        from sharp_tpu.ops.linkage_pallas import ward_linkage_pallas
+
+        Z = jax.vmap(lambda z: standardize_rows(z, real_mask))(proj)
+        Db = jax.vmap(lambda z: pearson_distance(z, real_mask))(Z)
+        store = jnp.bfloat16 if linkage_backend == "pallas_bf16" else jnp.float32
+        link = ward_linkage_pallas(Db, store_dtype=store)
+
+    def one(Z, mg=None, ht=None):
+        from sharp_tpu.ops.linkage import LinkageResult
+
+        pre = LinkageResult(mg, ht) if mg is not None else None
         res = opt_hclust(
             Z, real_mask, n_real, maxN,
             symmetric=False, minN=minN, ncand=ncand, nc_pad=nc_pad,
             sil_thre=sil_thre, height_Ntimes=height_Ntimes,
             N_cluster=indN_cluster,
+            precomputed_link=pre,
         )
         return res.labels, res.k, res.maxsil
 
-    labels, k_per, maxsil = jax.vmap(one)(proj)
+    if link is not None:
+        labels, k_per, maxsil = jax.vmap(one)(proj, link.merges, link.heights)
+    else:
+        labels, k_per, maxsil = jax.vmap(one)(proj)
     return BlockEnsembleResult(
         labels=labels.T,
         k_per=k_per,

@@ -46,6 +46,7 @@ def fold_static_args(cfg: SharpConfig) -> dict:
         sil_thre=cfg.sil_thre,
         height_Ntimes=cfg.height_Ntimes,
         maxN=maxN,
+        linkage_backend=cfg.linkage_backend,
     )
 
 
@@ -58,7 +59,7 @@ def _allc_pad(cfg: SharpConfig) -> int:
     jax.jit,
     static_argnames=(
         "K", "minN", "ncand", "nc_pad", "allc_pad", "sil_thre",
-        "height_Ntimes", "maxN", "has_indN",
+        "height_Ntimes", "maxN", "has_indN", "linkage_backend",
     ),
 )
 def fold_program(
@@ -78,12 +79,14 @@ def fold_program(
     height_Ntimes: float,
     maxN: int,
     has_indN: bool = False,
+    linkage_backend: str = "xla",
 ) -> FoldSummary:
     blk = cluster_block_ensemble(
         X, mask, n_real, R_all, jnp.asarray(maxN), log_transform,
         K=K, minN=minN, ncand=ncand, nc_pad=nc_pad,
         sil_thre=sil_thre, height_Ntimes=height_Ntimes,
         indN_cluster=indN_cluster if has_indN else None,
+        linkage_backend=linkage_backend,
     )
     wres = wmetac(
         blk.labels, mask, n_real, jnp.asarray(maxN),

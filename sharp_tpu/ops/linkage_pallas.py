@@ -1,0 +1,259 @@
+"""Single-kernel Pallas Ward linkage — the speed-of-light path.
+
+The XLA implementations (ops/linkage.py) are bounded by per-step kernel
+dispatch: every merge runs ~40-70 tiny device ops, ~5us each. Here the
+whole agglomeration — row-min cache, lazy revalidation, Lance-Williams
+update, merge recording — runs inside ONE `pallas_call`: the distance
+matrix is DMA'd into VMEM once and every step is a handful of VPU
+passes over on-chip memory with zero dispatch overhead.
+
+TPU-shape notes: scalar state lives in (1, n) lane vectors updated with
+masked writes (Mosaic cannot store scalars to VMEM); merges/heights
+accumulate in (8, n)-tiled scratch planes flushed to the output once.
+
+Layout: one ensemble member per grid step (grid = (K,)); D lives in a
+VMEM scratch of configurable dtype (float32 when it fits — n <= ~1400;
+bfloat16 for n = 2048, which halves storage at ~3-digit distance
+precision — merge order may differ from the f32 reference on near-ties,
+so tests compare f32 bit-exactly and bf16 at clustering level).
+
+Algorithm identical to `ward_linkage_fast` (same lower-bound row-min
+invariant, same lazy revalidation, same ward.D arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sharp_tpu.ops.distance import BIG
+from sharp_tpu.ops.linkage import LinkageResult
+
+
+def _kernel(
+    D_any, merges_ref, heights_ref,
+    Dv, rowmin, rowarg, act, sizes, sem,
+):
+    k = pl.program_id(0)
+    n = Dv.shape[0]
+    store_dt = Dv.dtype
+
+    dma = pltpu.make_async_copy(D_any.at[k], Dv, sem)
+    dma.start()
+    dma.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    big = jnp.asarray(BIG, store_dt)
+    Dv[:, :] = jnp.where(row_ids == col_ids, big, Dv[:, :])
+
+    Df = Dv[:, :].astype(jnp.float32)
+    # D is symmetric: row minima == column minima, and axis-0 reductions
+    # land directly in (1, n) lane-vector layout
+    rowmin[:, :] = jnp.min(Df, axis=0, keepdims=True)
+    rowarg[:, :] = jnp.argmin(Df, axis=0)[None, :].astype(jnp.int32)
+    act[:, :] = jnp.ones((1, n), jnp.float32)
+    sizes[:, :] = jnp.ones((1, n), jnp.float32)
+    merges_ref[0, :, :] = jnp.zeros((8, n), jnp.int32)
+    heights_ref[0, :, :] = jnp.zeros((8, n), jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    subl8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+
+    # bf16 tiles are (16, 128): dynamic single-row slices break tiling, so
+    # narrow dtypes go through aligned 16-row blocks with a sublane select
+    SUB = 8 if store_dt == jnp.float32 else 16
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, n), 0)
+    direct_rows = store_dt == jnp.float32
+
+    def read_row(idx):
+        if direct_rows:
+            return Dv[pl.ds(idx, 1), :].astype(jnp.float32)
+        base = pl.multiple_of((idx // SUB) * SUB, SUB)
+        block = Dv[pl.ds(base, SUB), :].astype(jnp.float32)
+        r = idx - base
+        return jnp.sum(
+            jnp.where(sub_iota == r, block, 0.0), axis=0, keepdims=True
+        )
+
+    def write_row(idx, row_f32):
+        if direct_rows:
+            Dv[pl.ds(idx, 1), :] = row_f32.astype(store_dt)
+            return
+        base = pl.multiple_of((idx // SUB) * SUB, SUB)
+        r = idx - base
+        block = Dv[pl.ds(base, SUB), :]
+        block = jnp.where(sub_iota == r, row_f32.astype(store_dt), block)
+        Dv[pl.ds(base, SUB), :] = block
+
+    def lane_of(vec, idx):
+        """Scalar read vec[0, idx] as a masked reduction (lane-safe)."""
+        return jnp.max(jnp.where(lane == idx, vec[:, :], -jnp.inf))
+
+    def ilane_of(vec, idx):
+        return jnp.max(jnp.where(lane == idx, vec[:, :], -(2**30)))
+
+    def step(t, _):
+        # --- lazy pop + revalidation ------------------------------------
+        def reval_cond(done):
+            return jnp.logical_not(done)
+
+        def reval_body(done):
+            i0 = jnp.argmin(rowmin[0, :]).astype(jnp.int32)
+            row = read_row(i0)
+            m = jnp.min(row)
+            a = jnp.argmin(row[0, :]).astype(jnp.int32)
+            exact = m <= lane_of(rowmin, i0)
+            sel = lane == i0
+            rowmin[:, :] = jnp.where(sel, m, rowmin[:, :])
+            rowarg[:, :] = jnp.where(sel, a, rowarg[:, :])
+            return exact
+
+        jax.lax.while_loop(reval_cond, reval_body, False)
+
+        i0 = jnp.argmin(rowmin[0, :]).astype(jnp.int32)
+        j0 = ilane_of(rowarg, i0).astype(jnp.int32)
+        i = jnp.minimum(i0, j0)
+        j = jnp.maximum(i0, j0)
+        h = lane_of(rowmin, i0)
+
+        # --- Lance-Williams --------------------------------------------
+        ni = lane_of(sizes, i)
+        nj = lane_of(sizes, j)
+        nk = sizes[:, :]
+        dik = read_row(i)
+        djk = read_row(j)
+        formula = ((ni + nk) * dik + (nj + nk) * djk - nk * h) / (ni + nj + nk)
+        valid = (act[:, :] > 0.5) & (lane != i) & (lane != j)
+        newrow = jnp.where(valid, formula, BIG)
+
+        write_row(i, newrow)
+        # dead row j is never read again (rowmin[j] = BIG blocks pops), so
+        # only its COLUMN must die. Mosaic can't store to a dynamic-lane
+        # column slice; write columns i (fresh) and j (dead) in one masked
+        # full-matrix pass
+        newcol = jnp.transpose(newrow, (1, 0)).astype(store_dt)  # (n, 1)
+        Dv[:, :] = jnp.where(
+            col_ids == i, newcol,
+            jnp.where(col_ids == j, big, Dv[:, :]),
+        )
+
+        act[:, :] = jnp.where(lane == j, 0.0, act[:, :])
+        sizes[:, :] = jnp.where(lane == i, ni + nj, sizes[:, :])
+        at_t = lane8 == t
+        merges_ref[0, :, :] = jnp.where(
+            at_t & (subl8 == 0), i,
+            jnp.where(at_t & (subl8 == 1), j, merges_ref[0, :, :]),
+        )
+        heights_ref[0, :, :] = jnp.where(
+            at_t & (subl8 == 0), h, heights_ref[0, :, :]
+        )
+
+        # --- cache maintenance ------------------------------------------
+        # stored row value: low-precision dtypes round on store, so the
+        # cache must hold exactly what a later revalidation reads back
+        stored = read_row(i)
+        better = stored < rowmin[:, :]
+        rowmin[:, :] = jnp.where(better, stored, rowmin[:, :])
+        rowarg[:, :] = jnp.where(better, i, rowarg[:, :])
+        m_i = jnp.min(stored)
+        a_i = jnp.argmin(stored[0, :]).astype(jnp.int32)
+        sel_i = lane == i
+        rowmin[:, :] = jnp.where(sel_i, m_i, rowmin[:, :])
+        rowarg[:, :] = jnp.where(sel_i, a_i, rowarg[:, :])
+        rowmin[:, :] = jnp.where(lane == j, BIG, rowmin[:, :])
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, step, 0)
+
+
+def _invoke(D_st: jax.Array, interpret: bool):
+    """Raw pallas call: D_st (K, n, n) already in storage dtype ->
+    ((K, 8, n) merges plane, (K, 8, n) heights plane)."""
+    K, n, _ = D_st.shape
+    return pl.pallas_call(
+        _kernel,
+        grid=(K,),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, 8, n), jnp.int32),
+            jax.ShapeDtypeStruct((K, 8, n), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, 8, n), lambda k: (k, 0, 0)),
+            pl.BlockSpec((1, 8, n), lambda k: (k, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), D_st.dtype),
+            pltpu.VMEM((1, n), jnp.float32),   # rowmin
+            pltpu.VMEM((1, n), jnp.int32),     # rowarg
+            pltpu.VMEM((1, n), jnp.float32),   # active
+            pltpu.VMEM((1, n), jnp.float32),   # sizes
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(D_st)
+
+
+def _make_batchable(interpret: bool):
+    """vmap folds batch axes into the kernel's K grid axis (Mosaic only
+    supports trivially-mapped ANY operands, so the default pallas vmap
+    batching rule can't apply)."""
+
+    @jax.custom_batching.custom_vmap
+    def call(D_st):
+        return _invoke(D_st, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, D_st):
+        B = D_st.shape[0]
+        flat = D_st.reshape((-1,) + D_st.shape[2:])
+        m, h = call(flat)
+        m = m.reshape((B, -1) + m.shape[1:])
+        h = h.reshape((B, -1) + h.shape[1:])
+        return (m, h), (True, True)
+
+    return call
+
+
+_CALLS = {}
+
+
+def _get_call(interpret: bool):
+    if interpret not in _CALLS:
+        _CALLS[interpret] = _make_batchable(interpret)
+    return _CALLS[interpret]
+
+
+@functools.partial(jax.jit, static_argnames=("store_dtype", "interpret"))
+def ward_linkage_pallas(
+    D: jax.Array, *, store_dtype=jnp.float32, interpret: bool = False
+) -> LinkageResult:
+    """Batched Ward linkage in one Pallas kernel.
+
+    D: (K, n, n) float32 padded distance matrices (or (n, n), promoted).
+    """
+    squeeze = D.ndim == 2
+    if squeeze:
+        D = D[None]
+    n = D.shape[-1]
+
+    # outputs packed into (8, n)-tiled planes: rows 0/1 of `merges` hold
+    # the merge pair, row 0 of `heights` the merge distance, at lane t
+    merges, heights = _get_call(interpret)(D.astype(jnp.dtype(store_dtype)))
+
+    merges_out = jnp.stack(
+        [merges[..., 0, : n - 1], merges[..., 1, : n - 1]], axis=-1
+    )
+    heights_out = heights[..., 0, : n - 1]
+    if squeeze:
+        return LinkageResult(merges=merges_out[0], heights=heights_out[0])
+    return LinkageResult(merges=merges_out, heights=heights_out)

@@ -98,15 +98,20 @@ def opt_hclust(
     height_Ntimes: float = 2.0,
     N_cluster: Optional[jax.Array] = None,
     height_tail: int = 10,
+    precomputed_link=None,
 ) -> OptHclust:
     """Cluster `mat` ((n_pad, p) features or (n_pad, n_pad) similarity).
 
     If `N_cluster` is given (traced scalar >= 2), performs the single fixed
     cut (R/get_opt_hclust.R:90-107) — the sweep still runs (static shapes)
     but selection is forced to that candidate.
+
+    `precomputed_link` lets callers supply the merge sequence from a
+    batched linkage backend (e.g. the Pallas kernel) instead of the
+    per-call XLA loop.
     """
     D, D_real, feats_unit = _prep_distance(mat, real_mask, symmetric)
-    link = ward_linkage(D)
+    link = precomputed_link if precomputed_link is not None else ward_linkage(D)
 
     cuts = cutree_multi(
         link.merges, n_real, real_mask, maxN,
