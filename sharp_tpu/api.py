@@ -42,6 +42,9 @@ def sharp(
         X = X.T
         gene_names, cell_names = gene_names, cell_names
 
+    from sharp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     timer = StageTimer()
     n, g = X.shape
     cfg = resolve_config(n, g, **knobs)

@@ -81,6 +81,9 @@ def sharp_unlimited(
     resume: bool = True,
     **knobs,
 ) -> SharpResult:
+    from sharp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     timer = StageTimer()
 
     # --- resolve input form ---------------------------------------------
