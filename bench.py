@@ -94,7 +94,7 @@ def main():
         jax.random.PRNGKey(7), K, n_genes, p, dtype=jnp.bfloat16
     )
 
-    GROUP = int(os.environ.get("SHARP_BENCH_GROUP", 8))
+    GROUP = int(os.environ.get("SHARP_BENCH_GROUP", 4))
     GROUP = min(GROUP, T)
 
     def run_group(Xg, masks, nrs):
@@ -190,5 +190,45 @@ def main():
     print(json.dumps(out))
 
 
+def _watchdog_main():
+    """Run the measurement in a child process with a timeout + one retry.
+
+    The remote TPU compile service in this environment occasionally wedges
+    on a cold compile; a killed retry almost always hits the server-side
+    compile cache and completes fast."""
+    import subprocess
+
+    budget = int(os.environ.get("SHARP_BENCH_TIMEOUT", 1200))
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=budget,
+                capture_output=True,
+                text=True,
+            )
+            for line in proc.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    print(line.strip())
+                    return 0
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench attempt {attempt + 1} timed out after {budget}s; "
+                "retrying (compile cache should be warm)\n"
+            )
+    print(json.dumps({
+        "metric": "cells_per_second_end_to_end",
+        "value": 0.0,
+        "unit": "cells/s",
+        "vs_baseline": 0.0,
+        "detail": {"error": "bench failed after 3 attempts"},
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(_watchdog_main())

@@ -29,7 +29,7 @@ class BlockEnsembleResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "minN", "ncand", "nc_pad", "linkage_backend"),
+    static_argnames=("K", "minN", "ncand", "nc_pad", "linkage_backend", "hmethod"),
 )
 def cluster_block_ensemble(
     X: jax.Array,           # (n_pad, genes) raw (not log) expression block
@@ -47,11 +47,14 @@ def cluster_block_ensemble(
     height_Ntimes: float = 2.0,
     indN_cluster: Optional[jax.Array] = None,
     linkage_backend: str = "xla",
+    hmethod: str = "ward.D",
 ) -> BlockEnsembleResult:
     Xt = jnp.where(log_transform, jnp.log2(1.0 + X), X)
     proj = rp_project_ensemble(Xt, R_all, K=K)          # (K, n_pad, p)
     proj = proj * real_mask[None, :, None].astype(proj.dtype)
 
+    if hmethod != "ward.D":
+        linkage_backend = "xla"  # general hmethods run the XLA paths
     if linkage_backend == "auto":
         # Pallas on TPU (f32 exact when the matrix fits VMEM, bf16 above);
         # XLA loop elsewhere (CPU tests, interpret-unfriendly sizes)
@@ -82,6 +85,7 @@ def cluster_block_ensemble(
             sil_thre=sil_thre, height_Ntimes=height_Ntimes,
             N_cluster=indN_cluster,
             precomputed_link=pre,
+            hmethod=hmethod,
         )
         return res.labels, res.k, res.maxsil
 

@@ -47,6 +47,7 @@ def fold_static_args(cfg: SharpConfig) -> dict:
         height_Ntimes=cfg.height_Ntimes,
         maxN=maxN,
         linkage_backend=cfg.linkage_backend,
+        hmethod=cfg.hmethod,
     )
 
 
@@ -59,7 +60,7 @@ def _allc_pad(cfg: SharpConfig) -> int:
     jax.jit,
     static_argnames=(
         "K", "minN", "ncand", "nc_pad", "allc_pad", "sil_thre",
-        "height_Ntimes", "maxN", "has_indN", "linkage_backend",
+        "height_Ntimes", "maxN", "has_indN", "linkage_backend", "hmethod",
     ),
 )
 def fold_program(
@@ -80,6 +81,7 @@ def fold_program(
     maxN: int,
     has_indN: bool = False,
     linkage_backend: str = "xla",
+    hmethod: str = "ward.D",
 ) -> FoldSummary:
     blk = cluster_block_ensemble(
         X, mask, n_real, R_all, jnp.asarray(maxN), log_transform,
@@ -87,6 +89,7 @@ def fold_program(
         sil_thre=sil_thre, height_Ntimes=height_Ntimes,
         indN_cluster=indN_cluster if has_indN else None,
         linkage_backend=linkage_backend,
+        hmethod=hmethod,
     )
     wres = wmetac(
         blk.labels, mask, n_real, jnp.asarray(maxN),

@@ -48,14 +48,46 @@ def _prep_matrix(D: jax.Array) -> jax.Array:
     return jnp.where(eye, BIG, D)
 
 
-@jax.jit
-def ward_linkage(D: jax.Array) -> LinkageResult:
-    """Run ward.D agglomeration over a padded distance matrix.
+# Lance-Williams update coefficients for every hmethod the reference's
+# hclust call accepts (R/get_opt_hclust.R:77: 'ward.D', 'ward.D2',
+# 'single', 'complete', 'average', 'mcquitty', 'median', 'centroid').
+# R applies the recurrence to the raw dissimilarities (ward.D2 to their
+# squares). `monotone` marks methods whose updated distance is >= the
+# merged pair's distance — the precondition for the lazy row-min cache.
+def lw_update(method: str, dik, djk, h, ni, nj, nk):
+    if method in ("ward.D", "ward.D2", "ward"):
+        return ((ni + nk) * dik + (nj + nk) * djk - nk * h) / (ni + nj + nk)
+    if method == "single":
+        return jnp.minimum(dik, djk)
+    if method == "complete":
+        return jnp.maximum(dik, djk)
+    if method == "average":
+        return (ni * dik + nj * djk) / (ni + nj)
+    if method == "mcquitty":
+        return 0.5 * dik + 0.5 * djk
+    if method == "median":
+        return 0.5 * dik + 0.5 * djk - 0.25 * h
+    if method == "centroid":
+        s = ni + nj
+        return (ni * dik + nj * djk) / s - (ni * nj * h) / (s * s)
+    raise ValueError(f"unknown hmethod {method!r}")
+
+
+MONOTONE_METHODS = frozenset(
+    {"ward.D", "ward.D2", "ward", "single", "complete", "average", "mcquitty"}
+)
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def ward_linkage(D: jax.Array, method: str = "ward.D") -> LinkageResult:
+    """Agglomeration over a padded distance matrix, any hmethod.
 
     D: (n_pad, n_pad) from `pearson_distance`/`similarity_to_distance`
     (structural padding already in place). Returns the full merge sequence;
     the first n_real - 1 merges are exactly the merges of the unpadded
-    problem, in the same order as R's hclust.
+    problem, in the same order as R's hclust. This full-argmin loop is the
+    semantic reference implementation and is correct for every method,
+    including the non-monotone centroid/median recurrences.
     """
     n = D.shape[-1]
     D = _prep_matrix(D)
@@ -75,7 +107,7 @@ def ward_linkage(D: jax.Array) -> LinkageResult:
         nk = sizes
         dik = D[i, :]
         djk = D[j, :]
-        formula = ((ni + nk) * dik + (nj + nk) * djk - nk * h) / (ni + nj + nk)
+        formula = lw_update(method, dik, djk, h, ni, nj, nk)
         valid = active & (ar != i) & (ar != j)
         newrow = jnp.where(valid, formula, BIG)
 
@@ -197,9 +229,12 @@ def ward_linkage_fast(D: jax.Array) -> LinkageResult:
     return LinkageResult(merges=out[5], heights=out[6])
 
 
-@functools.partial(jax.jit, static_argnames=("flush", "unroll", "eager_w"))
+@functools.partial(
+    jax.jit, static_argnames=("flush", "unroll", "eager_w", "method")
+)
 def ward_linkage_deferred(
-    D: jax.Array, flush: int = 64, unroll: int = 1, eager_w: int = 0
+    D: jax.Array, flush: int = 64, unroll: int = 1, eager_w: int = 0,
+    method: str = "ward.D",
 ) -> LinkageResult:
     """ward.D agglomeration with lazy row-min caching AND deferred column
     writes — the production TPU path.
@@ -215,8 +250,13 @@ def ward_linkage_deferred(
 
     Output is bit-identical to `ward_linkage` (same pop order, same
     Lance-Williams arithmetic, corrections copy stored values — no
-    recomputation drift).
+    recomputation drift). Restricted to monotone methods — the lazy
+    lower-bound invariant needs updated distances >= min(d_ik, d_jk).
     """
+    if method not in MONOTONE_METHODS:
+        raise ValueError(
+            f"hmethod {method!r} is non-monotone; use ward_linkage instead"
+        )
     n = D.shape[-1]
     D = _prep_matrix(D)
     ar = jnp.arange(n)
@@ -266,9 +306,7 @@ def ward_linkage_deferred(
             nk = sizes
             dik = corrected_row(D, active, rowver, dirty, i)
             djk = corrected_row(D, active, rowver, dirty, j)
-            formula = (
-                (ni + nk) * dik + (nj + nk) * djk - nk * h
-            ) / (ni + nj + nk)
+            formula = lw_update(method, dik, djk, h, ni, nj, nk)
             valid = active & (ar != i) & (ar != j)
             newrow = jnp.where(valid, formula, BIG)
 

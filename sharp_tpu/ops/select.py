@@ -31,10 +31,31 @@ from sharp_tpu.ops.distance import (
     _unit_rows,
 )
 from sharp_tpu.ops.linkage import (
+    MONOTONE_METHODS,
     ward_linkage_deferred as ward_linkage,
+    ward_linkage as linkage_reference,
+    ward_linkage_deferred,
     cutree_multi,
     real_heights_tail,
 )
+from sharp_tpu.ops.linkage import LinkageResult
+
+
+def _general_linkage(D, hmethod: str):
+    """Any reference hmethod. ward.D2 runs the recurrence on squared
+    distances and reports sqrt heights (R hclust semantics); non-monotone
+    methods (median/centroid) use the full-argmin reference loop."""
+    if hmethod == "ward.D2":
+        from sharp_tpu.ops.distance import PAD_PAD_DIST
+
+        # square only real entries; structural pad tiers must keep their
+        # ordering without overflowing f32
+        D2 = jnp.where(D >= PAD_PAD_DIST, D, D * D)
+        link = ward_linkage_deferred(D2, method="ward.D")
+        return LinkageResult(link.merges, jnp.sqrt(jnp.maximum(link.heights, 0.0)))
+    if hmethod in MONOTONE_METHODS:
+        return ward_linkage_deferred(D, method=hmethod)
+    return linkage_reference(D, method=hmethod)
 from sharp_tpu.ops.silhouette import sweep_scores
 
 _NEG = jnp.float32(-jnp.inf)
@@ -82,7 +103,9 @@ def _prep_distance(mat, real_mask, symmetric: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("symmetric", "minN", "ncand", "nc_pad", "height_tail"),
+    static_argnames=(
+        "symmetric", "minN", "ncand", "nc_pad", "height_tail", "hmethod",
+    ),
 )
 def opt_hclust(
     mat: jax.Array,
@@ -99,6 +122,7 @@ def opt_hclust(
     N_cluster: Optional[jax.Array] = None,
     height_tail: int = 10,
     precomputed_link=None,
+    hmethod: str = "ward.D",
 ) -> OptHclust:
     """Cluster `mat` ((n_pad, p) features or (n_pad, n_pad) similarity).
 
@@ -111,7 +135,12 @@ def opt_hclust(
     per-call XLA loop.
     """
     D, D_real, feats_unit = _prep_distance(mat, real_mask, symmetric)
-    link = precomputed_link if precomputed_link is not None else ward_linkage(D)
+    if precomputed_link is not None:
+        link = precomputed_link
+    elif hmethod in ("ward.D",):
+        link = ward_linkage(D)
+    else:
+        link = _general_linkage(D, hmethod)
 
     cuts = cutree_multi(
         link.merges, n_real, real_mask, maxN,

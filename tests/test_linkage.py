@@ -152,6 +152,69 @@ def test_fast_linkage_equals_reference_impl(impl):
     np.testing.assert_array_equal(np.asarray(rb1.merges), np.asarray(rb2.merges))
 
 
+@pytest.mark.parametrize(
+    "rmethod,scipymethod",
+    [
+        ("single", "single"),
+        ("complete", "complete"),
+        ("average", "average"),
+        ("mcquitty", "weighted"),
+        ("ward.D2", "ward"),
+        ("median", "median"),
+        ("centroid", "centroid"),
+    ],
+)
+def test_general_hmethods_match_scipy(rmethod, scipymethod):
+    """Every reference hmethod (R/get_opt_hclust.R:77) against scipy.
+
+    R hclust applies these directly to the dissimilarities, exactly like
+    scipy's linkage on a condensed distance; ward.D2 == scipy 'ward'.
+    Run in float64 to pin merge order.
+    """
+    from sharp_tpu.ops.select import _general_linkage
+    from sharp_tpu.ops.linkage import cutree_multi
+
+    n = 45
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(n, 12))
+    d = _corr_dist(X)
+    np.fill_diagonal(d, 0.0)
+    # R applies median/centroid's recurrence to the RAW dissimilarities;
+    # scipy's variants assume the input is Euclidean and square it
+    # internally — so R-on-d == scipy-on-sqrt(d) with squared heights
+    # (same equivalence as ward.D vs scipy ward).
+    sqrt_mode = scipymethod in ("median", "centroid")
+    dcond = squareform(np.sqrt(d) if sqrt_mode else d, checks=False)
+    Z = scipy_linkage(dcond, scipymethod)
+    ref_heights = Z[:, 2] ** 2 if sqrt_mode else Z[:, 2]
+
+    with jax.enable_x64(True):
+        from sharp_tpu.ops.distance import similarity_to_distance
+
+        mask = jnp.ones(n, bool)
+        Dp = similarity_to_distance(jnp.asarray(1.0 - d), mask)
+        link = _general_linkage(Dp, rmethod)
+        cuts = cutree_multi(
+            link.merges, jnp.asarray(n), mask, jnp.asarray(40),
+            minN=2, ncand=6, nc_pad=16,
+        )
+        labels = np.asarray(cuts.labels)
+        heights = np.asarray(link.heights)[: n - 1]
+
+    np.testing.assert_allclose(
+        np.sort(heights), np.sort(ref_heights), rtol=1e-8, atol=1e-10
+    )
+    if not sqrt_mode:
+        # label comparison only for monotone methods: with median/centroid
+        # inversions, scipy's threshold-based fcluster diverges from R's
+        # merge-order cutree (which our replay matches)
+        for ci, k in enumerate(range(2, 8)):
+            ref = fcluster(Z, t=k, criterion="maxclust")
+            assert adjusted_rand_score(ref, labels[ci][:n]) == pytest.approx(
+                1.0
+            ), f"{rmethod} cut k={k}"
+
+
 def test_heights_monotone():
     n, p = 50, 10
     X, Xp, mask = _random_problem(n, p, 3, npad=64)
