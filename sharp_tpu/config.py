@@ -66,6 +66,7 @@ class SharpConfig:
     log_transform: Optional[bool] = None   # explicit final decision override
     exp_type: Optional[str] = None  # "count"|"CPM"|"TPM"|"FPKM"|... (R/SHARP.R:110-117)
     rN_seed: Optional[int] = None   # None => nonreproducible sentinel (R/SHARP.R:169-179)
+    sncells: int = 100             # testlog probe size (R/SHARP.R:879-882)
     forview: bool = True           # keep viE/x0 for visualization (R/SHARP.R:445-449)
 
     # --- TPU-native knobs (no reference equivalent) ---

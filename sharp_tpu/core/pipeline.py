@@ -58,7 +58,7 @@ def preprocess(
 
 
 def testlog_decide(
-    X: np.ndarray, cfg: SharpConfig, key: jax.Array, sncells: int = 100
+    X: np.ndarray, cfg: SharpConfig, key: jax.Array, sncells: Optional[int] = None
 ) -> bool:
     """Decide whether to log2-transform by probing a small random subset.
 
@@ -67,7 +67,7 @@ def testlog_decide(
     msil_raw < 0.75 and msil_raw >= 0.95 * msil_log.
     """
     n = X.shape[0]
-    sn = min(sncells, n)
+    sn = min(sncells if sncells is not None else cfg.sncells, n)
     perm = np.asarray(
         jax.random.permutation(testlog_key(key), n, independent=True)
     )
@@ -148,6 +148,8 @@ def sharp_small(
                 if cfg.indN_cluster is not None
                 else None
             ),
+            linkage_backend=cfg.linkage_backend,
+            hmethod=cfg.hmethod,
         )
         block = jax.block_until_ready(block)
 

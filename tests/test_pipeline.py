@@ -43,3 +43,14 @@ def test_labels_one_based_contiguous():
     u = np.unique(res.pred_clusters)
     assert u.min() == 1
     assert np.array_equal(u, np.arange(1, len(u) + 1))
+
+
+def test_alternative_hmethod():
+    """hmethod knob reaches the linkage (R supports several agglomeration
+    methods, R/get_opt_hclust.R:7)."""
+    X, y = make_tpm_like(n_cells=150, n_genes=400, n_types=3, seed=7)
+    res = sharp(X, rN_seed=1, ensize_K=4, hmethod="average")
+    assert len(res.pred_clusters) == 150
+    assert res.paras["hmethod"] == "average"
+    ari = adjusted_rand_score(y, res.pred_clusters)
+    assert ari >= 0.8, f"average-linkage ARI {ari:.3f}"
