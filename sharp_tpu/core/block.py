@@ -53,16 +53,11 @@ def cluster_block_ensemble(
     proj = rp_project_ensemble(Xt, R_all, K=K)          # (K, n_pad, p)
     proj = proj * real_mask[None, :, None].astype(proj.dtype)
 
-    if hmethod != "ward.D":
-        linkage_backend = "xla"  # general hmethods run the XLA paths
-    if linkage_backend == "auto":
-        # Pallas on TPU (f32 exact when the matrix fits VMEM, bf16 above);
-        # XLA loop elsewhere (CPU tests, interpret-unfriendly sizes)
-        n_pad = X.shape[0]
-        if jax.default_backend() == "tpu":
-            linkage_backend = "pallas" if n_pad <= 1024 else "pallas_bf16"
-        else:
-            linkage_backend = "xla"
+    from sharp_tpu.ops.linkage import resolve_linkage_backend
+
+    linkage_backend = resolve_linkage_backend(
+        linkage_backend, X.shape[0], hmethod
+    )
 
     link = None
     if linkage_backend.startswith("pallas"):
@@ -86,6 +81,7 @@ def cluster_block_ensemble(
             N_cluster=indN_cluster,
             precomputed_link=pre,
             hmethod=hmethod,
+            linkage_backend=linkage_backend,
         )
         return res.labels, res.k, res.maxsil
 

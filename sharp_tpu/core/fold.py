@@ -96,6 +96,7 @@ def fold_program(
         K=K, nc_pad=nc_pad, allc_pad=allc_pad,
         meta_minN=minN, meta_ncand=ncand,
         sil_thre=0.0, height_Ntimes=height_Ntimes,
+        hmethod=hmethod, linkage_backend=linkage_backend,
     )
     oh = jax.nn.one_hot(wres.finalC, nc_pad, dtype=jnp.float32)
     oh = oh * mask[:, None].astype(jnp.float32)

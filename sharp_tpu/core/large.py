@@ -141,6 +141,7 @@ def fuse_folds(
         finalN_cluster=(
             jnp.asarray(finalN_cluster) if finalN_cluster is not None else None
         ),
+        hmethod=cfg.hmethod, linkage_backend=cfg.linkage_backend,
     )
     tf = np.asarray(sres.tf)
 

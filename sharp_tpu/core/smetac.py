@@ -47,7 +47,9 @@ def smetac_range(n_cells: int, minN: int, maxN: int, n_clusters: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("minN", "ncand", "meta_nc_pad")
+    jax.jit,
+    static_argnames=("minN", "ncand", "meta_nc_pad", "hmethod",
+                     "linkage_backend"),
 )
 def smetac(
     centroids: jax.Array,   # (nc_pad, p) fold-cluster centroids in mean-RP space
@@ -61,6 +63,8 @@ def smetac(
     sil_thre: float = 0.35,
     height_Ntimes: float = 2.0,
     finalN_cluster: Optional[jax.Array] = None,
+    hmethod: str = "ward.D",
+    linkage_backend: str = "xla",
 ) -> SMetaCResult:
     # Pearson correlation of centroids (R/sMetaC.R:67-78): center rows,
     # unit-normalize, one matmul.
@@ -76,6 +80,7 @@ def smetac(
         symmetric=True, minN=minN, ncand=ncand, nc_pad=meta_nc_pad,
         sil_thre=sil_thre, height_Ntimes=height_Ntimes,
         N_cluster=finalN_cluster,
+        hmethod=hmethod, linkage_backend=linkage_backend,
     )
 
     # --- second-best-silhouette override (R/sMetaC.R:139-147) ------------

@@ -44,7 +44,10 @@ class WMetaCResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "nc_pad", "allc_pad", "meta_ncand", "meta_minN"),
+    static_argnames=(
+        "K", "nc_pad", "allc_pad", "meta_ncand", "meta_minN", "hmethod",
+        "linkage_backend",
+    ),
 )
 def wmetac(
     labels: jax.Array,       # (n_pad, K) dense per-member labels; pads at nc_pad-1
@@ -60,6 +63,8 @@ def wmetac(
     sil_thre: float = 0.0,
     height_Ntimes: float = 2.0,
     enN_cluster: Optional[jax.Array] = None,
+    hmethod: str = "ward.D",
+    linkage_backend: str = "xla",
 ) -> WMetaCResult:
     n_pad = labels.shape[0]
     rm = real_mask.astype(jnp.float32)
@@ -117,6 +122,8 @@ def wmetac(
         sil_thre=sil_thre,
         height_Ntimes=height_Ntimes,
         N_cluster=enN_cluster,
+        hmethod=hmethod,
+        linkage_backend=linkage_backend,
     )
     tf = meta.labels                                             # (allc_pad,)
 

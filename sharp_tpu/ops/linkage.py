@@ -78,6 +78,24 @@ MONOTONE_METHODS = frozenset(
 )
 
 
+def resolve_linkage_backend(
+    backend: str, n_pad: int, hmethod: str = "ward.D"
+) -> str:
+    """Resolve the "auto" backend for a problem of padded size n_pad.
+
+    Pallas on TPU (f32 exact while the matrix fits VMEM, bf16 storage
+    above); the XLA loops elsewhere (CPU tests, non-ward methods — the
+    Pallas kernel implements ward.D only).
+    """
+    if hmethod != "ward.D":
+        return "xla"
+    if backend == "auto":
+        if jax.default_backend() == "tpu":
+            return "pallas" if n_pad <= 1024 else "pallas_bf16"
+        return "xla"
+    return backend
+
+
 @functools.partial(jax.jit, static_argnames=("method",))
 def ward_linkage(D: jax.Array, method: str = "ward.D") -> LinkageResult:
     """Agglomeration over a padded distance matrix, any hmethod.

@@ -183,7 +183,7 @@ def _invoke(D_st: jax.Array, interpret: bool):
             jax.ShapeDtypeStruct((K, 8, n), jnp.int32),
             jax.ShapeDtypeStruct((K, 8, n), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, 8, n), lambda k: (k, 0, 0)),
             pl.BlockSpec((1, 8, n), lambda k: (k, 0, 0)),
@@ -231,6 +231,117 @@ def _get_call(interpret: bool):
     if interpret not in _CALLS:
         _CALLS[interpret] = _make_batchable(interpret)
     return _CALLS[interpret]
+
+
+def _cutree_kernel(minN: int, ncand: int, ncand_pad: int):
+    def kernel(nr_ref, m_ref, snaps_ref):
+        n = m_ref.shape[2]
+        nr = nr_ref[pl.program_id(0)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (ncand_pad, n), 0)
+        snaps_ref[0, :, :] = jnp.zeros((ncand_pad, n), jnp.int32)
+        mi = m_ref[0, 0:1, :]
+        mj = m_ref[0, 1:2, :]
+
+        def step(t, labels):
+            i = jnp.max(jnp.where(lane == t, mi, -1))
+            j = jnp.max(jnp.where(lane == t, mj, -1))
+            labels = jnp.where(labels == j, i, labels)
+            ci = nr - t - 1 - minN
+
+            @pl.when((ci >= 0) & (ci < ncand))
+            def _():
+                snaps_ref[0, :, :] = jnp.where(
+                    sub == ci, labels, snaps_ref[0, :, :]
+                )
+
+            return labels
+
+        jax.lax.fori_loop(0, n - 1, step, lane)
+
+    return kernel
+
+
+def _cutree_invoke(m: jax.Array, nr: jax.Array, minN, ncand, ncand_pad,
+                   interpret):
+    G, _, n = m.shape
+    return pl.pallas_call(
+        _cutree_kernel(minN, ncand, ncand_pad),
+        grid=(G,),
+        out_shape=jax.ShapeDtypeStruct((G, ncand_pad, n), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, n), lambda k: (k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ncand_pad, n), lambda k: (k, 0, 0)),
+        interpret=interpret,
+    )(nr, m)
+
+
+_CUTREE_CALLS = {}
+
+
+def _get_cutree_call(minN: int, ncand: int, ncand_pad: int, interpret: bool):
+    key = (minN, ncand, ncand_pad, interpret)
+    if key not in _CUTREE_CALLS:
+
+        @jax.custom_batching.custom_vmap
+        def call(m, nr):
+            return _cutree_invoke(m, nr, minN, ncand, ncand_pad, interpret)
+
+        @call.def_vmap
+        def _rule(axis_size, in_batched, m, nr):
+            if not in_batched[0]:
+                m = jnp.broadcast_to(m, (axis_size,) + m.shape)
+            if not in_batched[1]:
+                nr = jnp.broadcast_to(nr, (axis_size,) + nr.shape)
+            B = m.shape[0]
+            snaps = call(
+                m.reshape((-1,) + m.shape[2:]), nr.reshape(-1)
+            )
+            return snaps.reshape((B, -1) + snaps.shape[1:]), True
+
+        _CUTREE_CALLS[key] = call
+    return _CUTREE_CALLS[key]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("minN", "ncand", "nc_pad", "interpret")
+)
+def cutree_multi_pallas(
+    merges: jax.Array,       # (n_pad - 1, 2) int32 merge sequence
+    n_real: jax.Array,       # () traced
+    real_mask: jax.Array,    # (n_pad,)
+    maxN: jax.Array,         # () traced
+    *,
+    minN: int,
+    ncand: int,
+    nc_pad: int,
+    interpret: bool = False,
+):
+    """All cuts k = minN .. minN+ncand-1 in one Pallas kernel.
+
+    Same contract as `ops.linkage.cutree_multi` (the reference recomputes
+    `cutree(h, k)` per candidate, R/get_opt_hclust.R:113,132), but the
+    merge replay runs on-chip: the XLA scan pays per-step loop overhead
+    ~50x the O(n) work; here each step is two lane extractions and one
+    masked update over VMEM.
+    """
+    from sharp_tpu.ops.linkage import CutForest, densify_labels
+
+    npad = real_mask.shape[0]
+    ncand_pad = ((ncand + 7) // 8) * 8
+    # merges (n-1, 2) -> lane-major (2, n) planes, one lane per step
+    m = jnp.zeros((2, npad), jnp.int32)
+    m = m.at[:, : npad - 1].set(merges.T)
+    snaps = _get_cutree_call(minN, ncand, ncand_pad, interpret)(
+        m[None], jnp.asarray(n_real, jnp.int32)[None]
+    )[0, :ncand]
+
+    dense, k = jax.vmap(lambda l: densify_labels(l, real_mask, nc_pad))(snaps)
+    ks = minN + jnp.arange(ncand)
+    valid = (ks <= n_real - 1) & (ks <= maxN)
+    return CutForest(labels=dense, k=k, valid=valid)
 
 
 @functools.partial(jax.jit, static_argnames=("store_dtype", "interpret"))

@@ -105,6 +105,7 @@ def _prep_distance(mat, real_mask, symmetric: bool):
     jax.jit,
     static_argnames=(
         "symmetric", "minN", "ncand", "nc_pad", "height_tail", "hmethod",
+        "linkage_backend",
     ),
 )
 def opt_hclust(
@@ -123,6 +124,7 @@ def opt_hclust(
     height_tail: int = 10,
     precomputed_link=None,
     hmethod: str = "ward.D",
+    linkage_backend: str = "xla",
 ) -> OptHclust:
     """Cluster `mat` ((n_pad, p) features or (n_pad, n_pad) similarity).
 
@@ -132,20 +134,43 @@ def opt_hclust(
 
     `precomputed_link` lets callers supply the merge sequence from a
     batched linkage backend (e.g. the Pallas kernel) instead of the
-    per-call XLA loop.
+    per-call XLA loop. `linkage_backend` ("xla" | "pallas" | "pallas_bf16",
+    resolve "auto" via `resolve_linkage_backend` first) selects the
+    single-kernel Pallas path for both the linkage and the cut replay.
     """
+    from sharp_tpu.ops.linkage import resolve_linkage_backend
+
+    linkage_backend = resolve_linkage_backend(
+        linkage_backend, real_mask.shape[0], hmethod
+    )
+    use_pallas = linkage_backend.startswith("pallas")
     D, D_real, feats_unit = _prep_distance(mat, real_mask, symmetric)
     if precomputed_link is not None:
         link = precomputed_link
+    elif use_pallas:
+        from sharp_tpu.ops.linkage_pallas import ward_linkage_pallas
+
+        store = (
+            jnp.bfloat16 if linkage_backend == "pallas_bf16" else jnp.float32
+        )
+        link = ward_linkage_pallas(D, store_dtype=store)
     elif hmethod in ("ward.D",):
         link = ward_linkage(D)
     else:
         link = _general_linkage(D, hmethod)
 
-    cuts = cutree_multi(
-        link.merges, n_real, real_mask, maxN,
-        minN=minN, ncand=ncand, nc_pad=nc_pad,
-    )
+    if use_pallas:
+        from sharp_tpu.ops.linkage_pallas import cutree_multi_pallas
+
+        cuts = cutree_multi_pallas(
+            link.merges, n_real, real_mask, maxN,
+            minN=minN, ncand=ncand, nc_pad=nc_pad,
+        )
+    else:
+        cuts = cutree_multi(
+            link.merges, n_real, real_mask, maxN,
+            minN=minN, ncand=ncand, nc_pad=nc_pad,
+        )
     ks = (minN + jnp.arange(ncand)).astype(jnp.float32)
     msil, ch = sweep_scores(
         D_real, feats_unit, cuts.labels, ks, real_mask, n_real, nc_pad=nc_pad

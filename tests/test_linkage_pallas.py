@@ -71,3 +71,51 @@ def test_pallas_bf16_quality():
                       minN=4, ncand=1, nc_pad=16)
     ari = adjusted_rand_score(np.asarray(c1.labels)[0], np.asarray(c2.labels)[0])
     assert ari == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("n,nreal", [(64, 50), (128, 128)])
+def test_pallas_cutree_matches_xla(n, nreal):
+    from sharp_tpu.ops.linkage import cutree_multi
+    from sharp_tpu.ops.linkage_pallas import cutree_multi_pallas
+
+    D = _problem(n, nreal, 24, seed=3)
+    link = ward_linkage(D)
+    mask = jnp.asarray(np.arange(n) < nreal)
+    nr = jnp.asarray(nreal)
+    maxN = jnp.asarray(40)
+    c1 = cutree_multi(link.merges, nr, mask, maxN, minN=2, ncand=13, nc_pad=16)
+    c2 = cutree_multi_pallas(
+        link.merges, nr, mask, maxN, minN=2, ncand=13, nc_pad=16,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(c1.labels), np.asarray(c2.labels))
+    np.testing.assert_array_equal(np.asarray(c1.k), np.asarray(c2.k))
+    np.testing.assert_array_equal(np.asarray(c1.valid), np.asarray(c2.valid))
+
+
+def test_pallas_cutree_batched():
+    """vmap over members with an unbatched n_real flattens into the grid."""
+    from sharp_tpu.ops.linkage import cutree_multi
+    from sharp_tpu.ops.linkage_pallas import cutree_multi_pallas
+
+    K, n = 3, 96
+    rng = np.random.default_rng(4)
+    Xb = jnp.asarray(rng.normal(size=(K, n, 16)), jnp.float32)
+    mask = jnp.ones(n, bool)
+    Db = jax.vmap(lambda x: pearson_distance(standardize_rows(x, mask), mask))(Xb)
+    links = jax.vmap(ward_linkage)(Db)
+    nr = jnp.asarray(n)
+    maxN = jnp.asarray(20)
+
+    def xla_one(mg):
+        return cutree_multi(mg, nr, mask, maxN, minN=2, ncand=7, nc_pad=16)
+
+    def pl_one(mg):
+        return cutree_multi_pallas(
+            mg, nr, mask, maxN, minN=2, ncand=7, nc_pad=16, interpret=True
+        )
+
+    c1 = jax.vmap(xla_one)(links.merges)
+    c2 = jax.vmap(pl_one)(links.merges)
+    np.testing.assert_array_equal(np.asarray(c1.labels), np.asarray(c2.labels))
+    np.testing.assert_array_equal(np.asarray(c1.k), np.asarray(c2.k))
