@@ -566,13 +566,26 @@ def densify_labels(lab: jax.Array, real_mask: jax.Array, nc_pad: int):
     """Map representative-index labels to dense ids 0..k-1 (first-index order).
 
     Padded cells are routed to the reserved garbage slot nc_pad - 1.
+
+    Gather/scatter-free (TPU gathers over the n-sized table cost ~20x the
+    arithmetic): a merge-replay representative always carries its own
+    index (merges relabel j -> i with i < j, so lab[r] == r exactly for
+    representatives), which makes occupancy an elementwise compare, and
+    the dense id of each cell a compare against the <= nc_pad
+    representative indices instead of a newid[lab] lookup.
     """
     n = lab.shape[0]
-    occ = jnp.zeros((n,), jnp.int32).at[lab].max(real_mask.astype(jnp.int32))
-    newid = jnp.cumsum(occ) - 1
-    dense = newid[lab]
+    occ = ((lab == jnp.arange(n)) & real_mask).astype(jnp.int32)
+    k = jnp.sum(occ)
+    # representative lane index of each dense id (tiny nc_pad-sized gather)
+    reps = jnp.nonzero(occ, size=nc_pad, fill_value=n)[0]   # (nc_pad,)
+    eq = lab[:, None] == reps[None, :]                       # (n, nc_pad)
+    dense = jnp.sum(
+        jnp.where(eq, jnp.arange(nc_pad, dtype=jnp.int32)[None, :], 0),
+        axis=1,
+    )
     dense = jnp.where(real_mask, dense, nc_pad - 1)
-    return dense.astype(jnp.int32), jnp.sum(occ)
+    return dense.astype(jnp.int32), k
 
 
 @functools.partial(jax.jit, static_argnames=("minN", "ncand", "nc_pad"))

@@ -172,12 +172,220 @@ def _kernel(
     jax.lax.fori_loop(0, n - 1, step, 0)
 
 
-def _invoke(D_st: jax.Array, interpret: bool):
+def _kernel_deferred(F: int):
+    """Ward linkage with deferred column writes — per-step O(n + F·n).
+
+    The full-pass kernel (`_kernel`) spends ~4us/step on one masked
+    O(n^2) sweep that writes column i and kills column j. Here a merge
+    writes only its row; the symmetric column entries in other rows go
+    stale and are corrected AT READ TIME from a ring of the last F
+    written rows (`Rbuf`), located by a one-hot slot->lane matrix (`OH`)
+    — correction = two small MXU contractions. Every F steps one
+    (n, F) x (F, n) matmul + masked pass reconciles all dirty columns
+    at once (same scheme as ops/linkage.py ward_linkage_deferred, which
+    this matches step-for-step). Dead columns never die in storage:
+    reads mask them with the `act` vector instead.
+    """
+
+    def kernel(D_any, merges_ref, heights_ref,
+               Dv, Rbuf, OH, rowmin, rowarg, act, sizes, ver, sstep, sem):
+        k = pl.program_id(0)
+        n = Dv.shape[0]
+        store_dt = Dv.dtype
+
+        dma = pltpu.make_async_copy(D_any.at[k], Dv, sem)
+        dma.start()
+        dma.wait()
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        big = jnp.asarray(BIG, store_dt)
+        Dv[:, :] = jnp.where(row_ids == col_ids, big, Dv[:, :])
+
+        Df = Dv[:, :].astype(jnp.float32)
+        rowmin[:, :] = jnp.min(Df, axis=0, keepdims=True)
+        rowarg[:, :] = jnp.argmin(Df, axis=0)[None, :].astype(jnp.int32)
+        act[:, :] = jnp.ones((1, n), jnp.float32)
+        sizes[:, :] = jnp.ones((1, n), jnp.float32)
+        ver[:, :] = jnp.full((1, n), -1, jnp.int32)
+        sstep[:, :] = jnp.full((1, F), -1, jnp.int32)
+        Rbuf[:, :] = jnp.zeros((F, n), jnp.float32)
+        OH[:, :] = jnp.zeros((F, n), jnp.float32)
+        merges_ref[0, :, :] = jnp.zeros((8, n), jnp.int32)
+        heights_ref[0, :, :] = jnp.zeros((8, n), jnp.float32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        laneF = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+        subF = jax.lax.broadcasted_iota(jnp.int32, (F, n), 0)
+        subl8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+
+        SUB = 8 if store_dt == jnp.float32 else 16
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, n), 0)
+        direct_rows = store_dt == jnp.float32
+
+        def read_row_raw(idx):
+            if direct_rows:
+                return Dv[pl.ds(idx, 1), :].astype(jnp.float32)
+            base = pl.multiple_of((idx // SUB) * SUB, SUB)
+            block = Dv[pl.ds(base, SUB), :].astype(jnp.float32)
+            r = idx - base
+            return jnp.sum(
+                jnp.where(sub_iota == r, block, 0.0), axis=0, keepdims=True
+            )
+
+        def write_row(idx, row_f32):
+            if direct_rows:
+                Dv[pl.ds(idx, 1), :] = row_f32.astype(store_dt)
+                return
+            base = pl.multiple_of((idx // SUB) * SUB, SUB)
+            r = idx - base
+            block = Dv[pl.ds(base, SUB), :]
+            block = jnp.where(sub_iota == r, row_f32.astype(store_dt), block)
+            Dv[pl.ds(base, SUB), :] = block
+
+        def lane_of(vec, idx):
+            return jnp.max(jnp.where(lane == idx, vec[:, :], -jnp.inf))
+
+        def ilane_of(vec, idx):
+            return jnp.max(jnp.where(lane == idx, vec[:, :], -(2**30)))
+
+        def read_row(idx):
+            """Fresh row `idx`: stored row + ring corrections + act mask."""
+            raw = read_row_raw(idx)
+            vk = ilane_of(ver, idx)
+            onehot_k = (lane == idx).astype(jnp.float32)        # (1, n)
+            # slot values at lane idx: (1, n) x (F, n)^T -> (1, F)
+            vals = jax.lax.dot_general(
+                onehot_k, Rbuf[:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            q = (sstep[:, :] > vk).astype(jnp.float32)           # (1, F)
+            both = jnp.concatenate([vals * q, q], axis=0)        # (2, F)
+            cm = jax.lax.dot_general(
+                both, OH[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # (2, n)
+            row = jnp.where(cm[1:2, :] > 0.5, cm[0:1, :], raw)
+            return jnp.where(
+                (act[:, :] > 0.5) & (lane != idx), row, BIG
+            )
+
+        def step(t, _):
+            def reval_cond(done):
+                return jnp.logical_not(done)
+
+            def reval_body(done):
+                i0 = jnp.argmin(rowmin[0, :]).astype(jnp.int32)
+                row = read_row(i0)
+                m = jnp.min(row)
+                a = jnp.argmin(row[0, :]).astype(jnp.int32)
+                exact = m <= lane_of(rowmin, i0)
+                sel = lane == i0
+                rowmin[:, :] = jnp.where(sel, m, rowmin[:, :])
+                rowarg[:, :] = jnp.where(sel, a, rowarg[:, :])
+                return exact
+
+            jax.lax.while_loop(reval_cond, reval_body, False)
+
+            i0 = jnp.argmin(rowmin[0, :]).astype(jnp.int32)
+            j0 = ilane_of(rowarg, i0).astype(jnp.int32)
+            i = jnp.minimum(i0, j0)
+            j = jnp.maximum(i0, j0)
+            h = lane_of(rowmin, i0)
+
+            ni = lane_of(sizes, i)
+            nj = lane_of(sizes, j)
+            nk = sizes[:, :]
+            dik = read_row(i)
+            djk = read_row(j)
+            formula = (
+                (ni + nk) * dik + (nj + nk) * djk - nk * h
+            ) / (ni + nj + nk)
+            valid = (act[:, :] > 0.5) & (lane != i) & (lane != j)
+            newrow = jnp.where(valid, formula, BIG)
+            stored = newrow.astype(store_dt).astype(jnp.float32)
+
+            write_row(i, newrow)
+            s = t % F
+            # ring bookkeeping: zero lane i's old slot (if any) and claim
+            # slot s for it, in one masked pass each
+            at_s = subF == s
+            OH[:, :] = jnp.where(
+                at_s, (lane == i).astype(jnp.float32),
+                jnp.where(lane == i, 0.0, OH[:, :]),
+            )
+            Rbuf[:, :] = jnp.where(at_s, stored, Rbuf[:, :])
+            sstep[:, :] = jnp.where(laneF == s, t, sstep[:, :])
+            ver[:, :] = jnp.where(lane == i, t, ver[:, :])
+
+            act[:, :] = jnp.where(lane == j, 0.0, act[:, :])
+            sizes[:, :] = jnp.where(lane == i, ni + nj, sizes[:, :])
+            at_t = lane8 == t
+            merges_ref[0, :, :] = jnp.where(
+                at_t & (subl8 == 0), i,
+                jnp.where(at_t & (subl8 == 1), j, merges_ref[0, :, :]),
+            )
+            heights_ref[0, :, :] = jnp.where(
+                at_t & (subl8 == 0), h, heights_ref[0, :, :]
+            )
+
+            # cache maintenance (lower-bound invariant, stored values only)
+            better = stored < rowmin[:, :]
+            rowmin[:, :] = jnp.where(better, stored, rowmin[:, :])
+            rowarg[:, :] = jnp.where(better, i, rowarg[:, :])
+            m_i = jnp.min(stored)
+            a_i = jnp.argmin(stored[0, :]).astype(jnp.int32)
+            sel_i = lane == i
+            rowmin[:, :] = jnp.where(sel_i, m_i, rowmin[:, :])
+            rowarg[:, :] = jnp.where(sel_i, a_i, rowarg[:, :])
+            rowmin[:, :] = jnp.where(lane == j, BIG, rowmin[:, :])
+
+            # epoch flush: reconcile all dirty columns in one matmul +
+            # masked pass; entries whose own row is fresher are kept
+            @pl.when(s == F - 1)
+            def _():
+                C = jax.lax.dot_general(
+                    Rbuf[:, :], OH[:, :],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (n, n)
+                dirty = jnp.sum(OH[:, :], axis=0, keepdims=True) > 0.5
+                verL = ver[:, :]                           # (1, n) -> cols
+                verR = jnp.transpose(ver[:, :], (1, 0))    # (n, 1) -> rows
+                repl = dirty & (verL > verR)
+                Dv[:, :] = jnp.where(repl, C.astype(store_dt), Dv[:, :])
+
+            return 0
+
+        jax.lax.fori_loop(0, n - 1, step, 0)
+
+    return kernel
+
+
+def _invoke(D_st: jax.Array, interpret: bool, variant: str = "deferred"):
     """Raw pallas call: D_st (K, n, n) already in storage dtype ->
     ((K, 8, n) merges plane, (K, 8, n) heights plane)."""
     K, n, _ = D_st.shape
+    if variant == "deferred":
+        F = min(32, n)
+        kernel = _kernel_deferred(F)
+        extra = [
+            pltpu.VMEM((F, n), jnp.float32),   # Rbuf (fresh-row ring)
+            pltpu.VMEM((F, n), jnp.float32),   # OH (slot -> lane one-hot)
+        ]
+        tail = [
+            pltpu.VMEM((1, n), jnp.int32),     # ver (row version stamps)
+            pltpu.VMEM((1, F), jnp.int32),     # sstep (slot version stamps)
+        ]
+    else:
+        kernel = _kernel
+        extra = []
+        tail = []
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(K,),
         out_shape=(
             jax.ShapeDtypeStruct((K, 8, n), jnp.int32),
@@ -190,10 +398,12 @@ def _invoke(D_st: jax.Array, interpret: bool):
         ),
         scratch_shapes=[
             pltpu.VMEM((n, n), D_st.dtype),
+            *extra,
             pltpu.VMEM((1, n), jnp.float32),   # rowmin
             pltpu.VMEM((1, n), jnp.int32),     # rowarg
             pltpu.VMEM((1, n), jnp.float32),   # active
             pltpu.VMEM((1, n), jnp.float32),   # sizes
+            *tail,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -203,14 +413,14 @@ def _invoke(D_st: jax.Array, interpret: bool):
     )(D_st)
 
 
-def _make_batchable(interpret: bool):
+def _make_batchable(interpret: bool, variant: str):
     """vmap folds batch axes into the kernel's K grid axis (Mosaic only
     supports trivially-mapped ANY operands, so the default pallas vmap
     batching rule can't apply)."""
 
     @jax.custom_batching.custom_vmap
     def call(D_st):
-        return _invoke(D_st, interpret)
+        return _invoke(D_st, interpret, variant)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, D_st):
@@ -227,10 +437,11 @@ def _make_batchable(interpret: bool):
 _CALLS = {}
 
 
-def _get_call(interpret: bool):
-    if interpret not in _CALLS:
-        _CALLS[interpret] = _make_batchable(interpret)
-    return _CALLS[interpret]
+def _get_call(interpret: bool, variant: str = "deferred"):
+    key = (interpret, variant)
+    if key not in _CALLS:
+        _CALLS[key] = _make_batchable(interpret, variant)
+    return _CALLS[key]
 
 
 def _cutree_kernel(minN: int, ncand: int, ncand_pad: int):
@@ -344,13 +555,19 @@ def cutree_multi_pallas(
     return CutForest(labels=dense, k=k, valid=valid)
 
 
-@functools.partial(jax.jit, static_argnames=("store_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("store_dtype", "interpret", "variant")
+)
 def ward_linkage_pallas(
-    D: jax.Array, *, store_dtype=jnp.float32, interpret: bool = False
+    D: jax.Array, *, store_dtype=jnp.float32, interpret: bool = False,
+    variant: str = "deferred",
 ) -> LinkageResult:
     """Batched Ward linkage in one Pallas kernel.
 
     D: (K, n, n) float32 padded distance matrices (or (n, n), promoted).
+    variant: "deferred" (O(n + F·n) per merge, the production path) or
+    "full" (one masked O(n^2) sweep per merge — the simpler reference
+    kernel both are tested bit-identical to in f32).
     """
     squeeze = D.ndim == 2
     if squeeze:
@@ -359,7 +576,9 @@ def ward_linkage_pallas(
 
     # outputs packed into (8, n)-tiled planes: rows 0/1 of `merges` hold
     # the merge pair, row 0 of `heights` the merge distance, at lane t
-    merges, heights = _get_call(interpret)(D.astype(jnp.dtype(store_dtype)))
+    merges, heights = _get_call(interpret, variant)(
+        D.astype(jnp.dtype(store_dtype))
+    )
 
     merges_out = jnp.stack(
         [merges[..., 0, : n - 1], merges[..., 1, : n - 1]], axis=-1

@@ -55,9 +55,11 @@ def silhouette_median(
     counts = jnp.sum(oh, axis=0)                      # (nc_pad,)
     sums = jnp.dot(D_real, oh, preferred_element_type=jnp.float32)  # (n, nc_pad)
 
+    # own-cluster selections as one-hot contractions — row gathers lower to
+    # element-at-a-time loops on TPU and dominate the sweep otherwise
     own = labels
-    own_count = counts[own]
-    own_sum = jnp.take_along_axis(sums, own[:, None], axis=1)[:, 0]
+    own_count = jnp.sum(oh * counts[None, :], axis=1)
+    own_sum = jnp.sum(oh * sums, axis=1)
     a = own_sum / jnp.maximum(own_count - 1.0, 1.0)
 
     mean_other = sums / jnp.maximum(counts[None, :], 1.0)
@@ -96,8 +98,11 @@ def ch_index(
         return vc * jax.lax.rsqrt(jnp.sum(vc * vc, axis=-1, keepdims=True) + 1e-12)
 
     cent_u = unit(cent)
-    # within: sum over cells of (1 - corr(x_i, centroid_own))
-    corr_own = jnp.sum(feats_unit * cent_u[labels], axis=-1)
+    # within: sum over cells of (1 - corr(x_i, centroid_own)); the row
+    # gather cent_u[labels] becomes a (n, p) x (p, nc) matmul + one-hot
+    # select (TPU row gathers are element-at-a-time)
+    fc = jnp.dot(feats_unit, cent_u.T, preferred_element_type=jnp.float32)
+    corr_own = jnp.sum(oh * fc, axis=-1)
     W = jnp.sum(jnp.where(real_mask, 1.0 - corr_own, 0.0))
     # between: sum over clusters of n_c * (1 - corr(centroid_c, global mean))
     g = jnp.sum(feats_unit * rm[:, None], axis=0) / jnp.maximum(n_real, 1)

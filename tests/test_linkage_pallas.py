@@ -23,11 +23,12 @@ def _problem(n, nreal, p, seed):
     return pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
 
 
-@pytest.mark.parametrize("n,nreal", [(64, 50), (128, 128)])
-def test_pallas_matches_reference(n, nreal):
+@pytest.mark.parametrize("variant", ["full", "deferred"])
+@pytest.mark.parametrize("n,nreal", [(64, 50), (128, 128), (256, 230)])
+def test_pallas_matches_reference(n, nreal, variant):
     D = _problem(n, nreal, 24, seed=0)
     r1 = ward_linkage(D)
-    r2 = ward_linkage_pallas(D, interpret=True)
+    r2 = ward_linkage_pallas(D, interpret=True, variant=variant)
     np.testing.assert_array_equal(
         np.asarray(r1.merges)[: nreal - 1], np.asarray(r2.merges)[: nreal - 1]
     )
@@ -38,14 +39,15 @@ def test_pallas_matches_reference(n, nreal):
     )
 
 
-def test_pallas_batched():
+@pytest.mark.parametrize("variant", ["full", "deferred"])
+def test_pallas_batched(variant):
     K, n = 3, 96
     rng = np.random.default_rng(1)
     Xb = jnp.asarray(rng.normal(size=(K, n, 16)), jnp.float32)
     mask = jnp.ones(n, bool)
     Db = jax.vmap(lambda x: pearson_distance(standardize_rows(x, mask), mask))(Xb)
     r1 = jax.vmap(ward_linkage)(Db)
-    r2 = ward_linkage_pallas(Db, interpret=True)
+    r2 = ward_linkage_pallas(Db, interpret=True, variant=variant)
     np.testing.assert_array_equal(np.asarray(r1.merges), np.asarray(r2.merges))
 
 
