@@ -83,15 +83,17 @@ def resolve_linkage_backend(
 ) -> str:
     """Resolve the "auto" backend for a problem of padded size n_pad.
 
-    Pallas on TPU (f32 exact while the matrix fits VMEM, bf16 storage
-    above); the XLA loops elsewhere (CPU tests, non-ward methods — the
-    Pallas kernel implements ward.D only).
+    On TPU: the serial single-kernel Pallas loop in exact f32 while the
+    matrix fits VMEM; above that, reciprocal-NN rounds with bf16 storage
+    (`ward_linkage_rnn`) — ~2x the serial kernel at n=2048 with the same
+    store-rounding discipline. The XLA loops elsewhere (CPU tests,
+    non-ward methods — the fast backends implement ward.D only).
     """
     if hmethod != "ward.D":
         return "xla"
     if backend == "auto":
         if jax.default_backend() == "tpu":
-            return "pallas" if n_pad <= 1024 else "pallas_bf16"
+            return "pallas" if n_pad <= 1024 else "rnn_bf16"
         return "xla"
     return backend
 
@@ -554,6 +556,220 @@ def ward_linkage_tri(D: jax.Array, eager_w: int = 32) -> LinkageResult:
     )
     out = jax.lax.fori_loop(0, n - 1, step, init)
     return LinkageResult(merges=out[6], heights=out[7])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pair_cap", "store_dtype", "compact_n",
+                              "compact_cap")
+)
+def ward_linkage_rnn(
+    D: jax.Array, pair_cap: int = 512, store_dtype=None,
+    compact_n: int = 256, compact_cap: int = 32,
+) -> LinkageResult:
+    """ward.D agglomeration by reciprocal-nearest-neighbor rounds — the
+    data-parallel formulation.
+
+    Ward's recurrence is *reducible*: if (a, b) are mutual nearest
+    neighbours, no other merge can change d(a, b) or break their
+    mutuality (d(a∪b, c) >= d(a, b) and d(a, c∪d) >= min(d(a,c), d(a,d))
+    >= d(a, b)). Hence ALL current mutual-NN pairs can merge in one
+    round, producing the same dendrogram as the serial global-argmin
+    loop; the serial merge order is recovered afterwards by a stable
+    sort on heights (Ward heights are monotone, and a parent is always
+    recorded in a later round than its children, so the stable sort is
+    topological even under ties).
+
+    Two phases bound the round count AND the round cost: full-size
+    rounds (pair caps don't bind until the mutual-pair count falls)
+    run only until <= compact_n clusters survive — a handful of rounds,
+    since each merges ~30% of clusters — then the survivors are
+    compacted into a (compact_n, compact_n) subproblem where the long
+    few-pairs-per-round tail costs ~nothing per round. Each round:
+    gather the merging rows with a one-hot matmul, Lance-Williams
+    elementwise, pair-pair entries fixed by a second (cap x cap)
+    contraction in within-round height order (the serial association),
+    scatter rows/columns back with matmul + transpose selects.
+
+    Heights equal the serial implementation's up to floating-point
+    associativity (cross-pair updates apply the same LW steps in a
+    possibly different association); merge pairs and all cuts are
+    identical on tie-free data.
+
+    `store_dtype` (default: D's dtype) is the matrix storage precision:
+    bfloat16 halves the round-dominating HBM traffic while the LW
+    arithmetic stays f32 — the same store-rounded discipline as the
+    serial Pallas kernel's bf16 mode.
+    """
+    n = D.shape[-1]
+    dt = jnp.float32
+    st = jnp.dtype(store_dtype) if store_dtype is not None else D.dtype
+    D = _prep_matrix(D).astype(st)
+    C = min(compact_n, n)
+    P1 = min(pair_cap, n // 2)
+    P2 = min(compact_cap, max(C // 2, 1))
+    mbuf = n - 1 + max(P1, P2)
+    bigst = jnp.asarray(BIG, st)
+
+    def make_body(n_loc, P):
+        ar = jnp.arange(n_loc)
+        arP = jnp.arange(P)
+
+        def body(c):
+            D, alive, sizes, gidx, merges, heights, rounds, cnt = c
+            af = alive
+            rowmin = jnp.min(D, axis=1).astype(dt)
+            nn = jnp.argmin(D, axis=1).astype(jnp.int32)
+            pp = nn[nn]
+            mutual = (pp == ar) & af & (rowmin < 0.5 * BIG)
+            lead = mutual & (ar < nn)
+
+            a = jnp.nonzero(lead, size=P, fill_value=0)[0].astype(jnp.int32)
+            n_pairs = jnp.minimum(jnp.sum(lead.astype(jnp.int32)), P)
+            sv = jnp.arange(P) < n_pairs
+            b = jnp.where(sv, nn[a], 0)
+            svf = sv.astype(st)
+
+            OHa = (ar[None, :] == a[:, None]).astype(st) * svf[:, None]
+            OHb = (ar[None, :] == b[:, None]).astype(st) * svf[:, None]
+            Da = jnp.dot(OHa, D, preferred_element_type=dt)
+            Db = jnp.dot(OHb, D, preferred_element_type=dt)
+            na = sizes[a] * sv.astype(dt)
+            nb = sizes[b] * sv.astype(dt)
+            h = jnp.where(sv, rowmin[a], BIG)
+            nk = sizes[None, :]
+            S = (na + nb)[:, None] + nk
+            newrows = (
+                (na[:, None] + nk) * Da + (nb[:, None] + nk) * Db
+                - nk * h[:, None]
+            ) / S
+
+            # pair-pair entries: the later merge's LW applied to the
+            # earlier merge's fresh row — the serial association. Inputs
+            # are store-rounded first (a later serial merge reads stored
+            # values).
+            newrows_st = newrows.astype(st)
+            newrows_rt = newrows_st.astype(dt)
+            Ra = jnp.dot(
+                newrows_rt, OHa.T.astype(dt), preferred_element_type=dt
+            )
+            Rb = jnp.dot(
+                newrows_rt, OHb.T.astype(dt), preferred_element_type=dt
+            )
+            ne = na + nb
+            # clamp: empty slots have zero sizes; a 0/0 NaN here would
+            # poison the scatter matmuls through 0 * NaN
+            denom = jnp.maximum((na + nb)[None, :] + ne[:, None], 1e-9)
+            E = (
+                (na[None, :] + ne[:, None]) * Ra
+                + (nb[None, :] + ne[:, None]) * Rb
+                - ne[:, None] * h[None, :]
+            ) / denom
+            earlier = (h[:, None] < h[None, :]) | (
+                (h[:, None] == h[None, :]) & (a[:, None] < a[None, :])
+            )
+            V = jnp.where(earlier, E, E.T)
+
+            cola = jnp.sum(OHa, axis=0) > 0.5
+            pairfix = jnp.dot(
+                V.astype(st), OHa, preferred_element_type=dt
+            )
+            newrows_st = jnp.where(
+                cola[None, :], pairfix.astype(st), newrows_st
+            )
+            dying = jnp.sum(OHb, axis=0) > 0.5
+            selfm = (OHa + OHb) > jnp.asarray(0.5, st)
+            newrows_st = jnp.where(
+                selfm | dying[None, :] | ~af[None, :], bigst, newrows_st
+            )
+
+            rowsfull = jnp.dot(
+                OHa.T, newrows_st, preferred_element_type=st
+            )
+            colsfull = jax.lax.dot_general(
+                newrows_st, OHa,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=st,
+            )
+            D = jnp.where(cola[:, None], rowsfull, D)
+            D = jnp.where(cola[None, :] & ~cola[:, None], colsfull, D)
+            D = jnp.where(dying[:, None] | dying[None, :], bigst, D)
+
+            alive = af & ~dying
+            sizes = sizes + jnp.dot(
+                OHa.T.astype(dt), nb, preferred_element_type=dt
+            )
+
+            ga = gidx[a]
+            gb = gidx[b]
+            ents = jnp.stack(
+                [jnp.where(sv, ga, 0), jnp.where(sv, gb, 0)], axis=1
+            ).astype(jnp.int32)
+            merges = jax.lax.dynamic_update_slice(merges, ents, (cnt, 0))
+            heights = jax.lax.dynamic_update_slice(
+                heights, jnp.where(sv, h, 0.0).astype(dt), (cnt,)
+            )
+            return (D, alive, sizes, gidx, merges, heights,
+                    rounds + 1, cnt + n_pairs)
+
+        return body
+
+    merges0 = jnp.zeros((mbuf, 2), jnp.int32)
+    heights0 = jnp.zeros((mbuf,), dt)
+    state = (
+        D,
+        jnp.ones((n,), bool),
+        jnp.ones((n,), dt),
+        jnp.arange(n, dtype=jnp.int32),
+        merges0,
+        heights0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+
+    # phase 1: full size, large cap, stop once the survivors fit the
+    # compacted problem. rounds < n is a safety bound in both phases
+    # (every round merges >= 1 pair — the global-min pair is mutual).
+    if C < n:
+        def cond1(c):
+            n_alive = jnp.sum(c[1].astype(jnp.int32))
+            return (c[7] < n - 1) & (n_alive > C) & (c[6] < n)
+
+        state = jax.lax.while_loop(cond1, make_body(n, P1), state)
+
+        # compact the survivors into a (C, C) subproblem
+        D1, alive, sizes, gidx, merges, heights, rounds, cnt = state
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        surv = jnp.nonzero(alive, size=C, fill_value=0)[0].astype(jnp.int32)
+        svC = jnp.arange(C) < n_alive
+        OHs = (
+            (jnp.arange(n)[None, :] == surv[:, None]).astype(st)
+            * svC.astype(st)[:, None]
+        )                                                    # (C, n)
+        D2 = jnp.dot(
+            jnp.dot(OHs, D1, preferred_element_type=st), OHs.T,
+            preferred_element_type=st,
+        )                                                    # (C, C)
+        D2 = jnp.where(
+            svC[:, None] & svC[None, :]
+            & (jnp.arange(C)[:, None] != jnp.arange(C)[None, :]),
+            D2, bigst,
+        )
+        sizes2 = jnp.where(
+            svC, jnp.dot(OHs.astype(dt), sizes,
+                         preferred_element_type=dt), 1.0
+        )
+        gidx2 = jnp.where(svC, gidx[surv], 0).astype(jnp.int32)
+        state = (D2, svC, sizes2, gidx2, merges, heights,
+                 jnp.asarray(0, jnp.int32), cnt)
+
+    def cond2(c):
+        return (c[7] < n - 1) & (c[6] < n)
+
+    state = jax.lax.while_loop(cond2, make_body(min(C, n), P2), state)
+
+    merges, heights = state[4][: n - 1], state[5][: n - 1]
+    order = jnp.argsort(heights, stable=True)
+    return LinkageResult(merges=merges[order], heights=heights[order])
 
 
 class CutForest(NamedTuple):

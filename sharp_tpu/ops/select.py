@@ -144,6 +144,7 @@ def opt_hclust(
         linkage_backend, real_mask.shape[0], hmethod
     )
     use_pallas = linkage_backend.startswith("pallas")
+    use_rnn = linkage_backend.startswith("rnn")
     D, D_real, feats_unit = _prep_distance(mat, real_mask, symmetric)
     if precomputed_link is not None:
         link = precomputed_link
@@ -154,12 +155,21 @@ def opt_hclust(
             jnp.bfloat16 if linkage_backend == "pallas_bf16" else jnp.float32
         )
         link = ward_linkage_pallas(D, store_dtype=store)
+    elif use_rnn:
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        store = (
+            jnp.bfloat16 if linkage_backend == "rnn_bf16" else None
+        )
+        link = ward_linkage_rnn(D, store_dtype=store)
     elif hmethod in ("ward.D",):
         link = ward_linkage(D)
     else:
         link = _general_linkage(D, hmethod)
 
-    if use_pallas:
+    # the Pallas cut-replay kernel pairs with any fast backend, but only
+    # compiles on real TPU hardware
+    if (use_pallas or use_rnn) and jax.default_backend() == "tpu":
         from sharp_tpu.ops.linkage_pallas import cutree_multi_pallas
 
         cuts = cutree_multi_pallas(

@@ -222,3 +222,115 @@ def test_heights_monotone():
     res = ward_linkage(D)
     h = np.asarray(res.heights)[: n - 1]
     assert np.all(np.diff(h) >= -1e-5)
+
+
+class TestRNNLinkage:
+    """Reciprocal-NN rounds (ward_linkage_rnn) vs the serial reference."""
+
+    @pytest.mark.parametrize("n,nreal,seed", [(64, 50, 0), (128, 128, 1),
+                                              (256, 230, 2)])
+    def test_f32_matches_reference(self, n, nreal, seed):
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        rng = np.random.default_rng(seed)
+        X = np.zeros((n, 24), np.float32)
+        X[:nreal] = rng.normal(size=(nreal, 24))
+        mask = jnp.asarray(np.arange(n) < nreal)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r1 = ward_linkage(D)
+        r2 = ward_linkage_rnn(D)
+        np.testing.assert_array_equal(
+            np.asarray(r1.merges)[: nreal - 1],
+            np.asarray(r2.merges)[: nreal - 1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.heights)[: nreal - 1],
+            np.asarray(r2.heights)[: nreal - 1],
+            rtol=1e-5,
+        )
+        # every candidate cut identical
+        c1 = cutree_multi(r1.merges, jnp.asarray(nreal), mask,
+                          jnp.asarray(40), minN=2, ncand=20, nc_pad=48)
+        c2 = cutree_multi(r2.merges, jnp.asarray(nreal), mask,
+                          jnp.asarray(40), minN=2, ncand=20, nc_pad=48)
+        np.testing.assert_array_equal(
+            np.asarray(c1.labels), np.asarray(c2.labels)
+        )
+
+    def test_small_pair_cap(self):
+        """A cap far below the mutual-pair count still terminates/matches."""
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        n = 128
+        rng = np.random.default_rng(5)
+        X = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+        mask = jnp.ones(n, bool)
+        D = pearson_distance(standardize_rows(X, mask), mask)
+        r1 = ward_linkage(D)
+        r2 = ward_linkage_rnn(D, pair_cap=4)
+        np.testing.assert_array_equal(
+            np.asarray(r1.merges), np.asarray(r2.merges)
+        )
+
+    def test_bf16_storage_quality(self):
+        """bf16 storage: same clustering on separated data."""
+        from sklearn.metrics import adjusted_rand_score
+
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        n = 256
+        rng = np.random.default_rng(6)
+        y = rng.integers(0, 4, n)
+        X = (3.0 * np.eye(4)[y] @ rng.normal(size=(4, 16))
+             + 0.1 * rng.normal(size=(n, 16))).astype(np.float32)
+        mask = jnp.ones(n, bool)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r1 = ward_linkage(D)
+        r2 = ward_linkage_rnn(D, store_dtype=jnp.bfloat16)
+        c1 = cutree_multi(r1.merges, jnp.asarray(n), mask, jnp.asarray(40),
+                          minN=4, ncand=1, nc_pad=16)
+        c2 = cutree_multi(r2.merges, jnp.asarray(n), mask, jnp.asarray(40),
+                          minN=4, ncand=1, nc_pad=16)
+        ari = adjusted_rand_score(
+            np.asarray(c1.labels)[0], np.asarray(c2.labels)[0]
+        )
+        assert ari == pytest.approx(1.0)
+
+    def test_vmapped(self):
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        K, n = 3, 96
+        rng = np.random.default_rng(7)
+        Xb = jnp.asarray(rng.normal(size=(K, n, 16)), jnp.float32)
+        mask = jnp.ones(n, bool)
+        Db = jax.vmap(
+            lambda x: pearson_distance(standardize_rows(x, mask), mask)
+        )(Xb)
+        r1 = jax.vmap(ward_linkage)(Db)
+        r2 = jax.vmap(lambda d: ward_linkage_rnn(d, pair_cap=16))(Db)
+        np.testing.assert_array_equal(
+            np.asarray(r1.merges), np.asarray(r2.merges)
+        )
+
+    @pytest.mark.parametrize("nreal", [512, 470])
+    def test_two_phase_compaction(self, nreal):
+        """n > compact_n exercises phase 1 + survivor compaction."""
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        n = 512
+        rng = np.random.default_rng(8)
+        X = np.zeros((n, 24), np.float32)
+        X[:nreal] = rng.normal(size=(nreal, 24))
+        mask = jnp.asarray(np.arange(n) < nreal)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r1 = ward_linkage(D)
+        r2 = ward_linkage_rnn(D, compact_n=128, compact_cap=16)
+        np.testing.assert_array_equal(
+            np.asarray(r1.merges)[: nreal - 1],
+            np.asarray(r2.merges)[: nreal - 1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.heights)[: nreal - 1],
+            np.asarray(r2.heights)[: nreal - 1],
+            rtol=1e-5,
+        )
