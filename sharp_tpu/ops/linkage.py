@@ -564,7 +564,7 @@ def ward_linkage_tri(D: jax.Array, eager_w: int = 32) -> LinkageResult:
 )
 def ward_linkage_rnn(
     D: jax.Array, pair_cap: int = 512, store_dtype=None,
-    compact_n: int = 256, compact_cap: int = 32,
+    compact_n: int = 512, compact_cap: int = 32,
 ) -> LinkageResult:
     """ward.D agglomeration by reciprocal-nearest-neighbor rounds — the
     data-parallel formulation.
