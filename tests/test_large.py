@@ -5,6 +5,7 @@ small inputs — force base.ncells/partition.ncells down
 (README.md:147-154: `SHARP(scExp, base.ncells=2000, partition.ncells=1000)`).
 """
 
+import jax
 import numpy as np
 import pytest
 from sklearn.metrics import adjusted_rand_score
@@ -53,3 +54,31 @@ def test_large_path_reproducible():
     r1 = sharp(X, **kw)
     r2 = sharp(X, **kw)
     np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
+
+
+def test_fold_program_rnn_backend_matches_xla():
+    """The rnn linkage backend (pure XLA, the TPU production path for
+    n_pad > 1024) produces the same fold summary as the xla loop."""
+    import jax.numpy as jnp
+
+    from sharp_tpu.config import resolve_config
+    from sharp_tpu.core.fold import fold_program, fold_static_args
+    from sharp_tpu.ops.rp import ensemble_rp_matrix
+    from synth import make_tpm_like
+
+    X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=4, seed=11)
+    cfg = resolve_config(200, 300, ensize_K=3, reduced_ndim=32,
+                         partition_ncells=256, rN_seed=3)
+    static = fold_static_args(cfg)
+    Xp = jnp.zeros((256, 300), jnp.float32).at[:200].set(X)
+    mask = jnp.arange(256) < 200
+    R = ensemble_rp_matrix(jax.random.PRNGKey(3), 3, 300, 32)
+
+    outs = {}
+    for backend in ("xla", "rnn"):
+        st = dict(static, linkage_backend=backend)
+        s = fold_program(Xp, mask, jnp.asarray(200), R, jnp.asarray(True),
+                         None, has_indN=False, **st)
+        outs[backend] = np.asarray(s.finalC)
+    np.testing.assert_array_equal(outs["xla"], outs["rnn"])
+
