@@ -54,13 +54,15 @@ def _process_block(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool):
     nb = Xb.shape[0]
     sizes = fold_sizes(nb, cfg.partition_ncells)
     block_pad = pad_dim(max(sizes))
-    frs = []
-    off = 0
-    for sz in sizes:
-        frs.append(
-            process_fold(Xb[off : off + sz], sz, block_pad, R_all, cfg, logf)
+    if len(sizes) > 1:
+        from sharp_tpu.parallel.sharded import process_folds_grouped
+
+        frs = process_folds_grouped(
+            np.asarray(Xb, np.float32), sizes, block_pad, R_all, cfg, logf,
+            group=min(8, len(sizes)),
         )
-        off += sz
+    else:
+        frs = [process_fold(Xb, sizes[0], block_pad, R_all, cfg, logf)]
     labels, n_final, _ = fuse_folds(frs, cfg, n_total=nb)
     # block-cluster centroids in the shared mean-RP feature space
     mean_proj = np.concatenate([fr["mean_proj"] for fr in frs], axis=0)
