@@ -841,7 +841,9 @@ def cutree_multi(
 
     dense, k = jax.vmap(lambda l: densify_labels(l, real_mask, nc_pad))(snaps)
     ks = minN + jnp.arange(ncand)
-    valid = (ks <= n_real - 1) & (ks <= maxN)
+    # nc_pad - 1 caps representable cuts (dense ids must clear the
+    # reserved garbage slot)
+    valid = (ks <= n_real - 1) & (ks <= maxN) & (ks <= nc_pad - 1)
     return CutForest(labels=dense, k=k, valid=valid)
 
 

@@ -551,7 +551,8 @@ def cutree_multi_pallas(
 
     dense, k = jax.vmap(lambda l: densify_labels(l, real_mask, nc_pad))(snaps)
     ks = minN + jnp.arange(ncand)
-    valid = (ks <= n_real - 1) & (ks <= maxN)
+    # nc_pad - 1 caps representable cuts (matches ops.linkage.cutree_multi)
+    valid = (ks <= n_real - 1) & (ks <= maxN) & (ks <= nc_pad - 1)
     return CutForest(labels=dense, k=k, valid=valid)
 
 

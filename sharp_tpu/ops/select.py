@@ -56,7 +56,7 @@ def _general_linkage(D, hmethod: str):
     if hmethod in MONOTONE_METHODS:
         return ward_linkage_deferred(D, method=hmethod)
     return linkage_reference(D, method=hmethod)
-from sharp_tpu.ops.silhouette import sweep_scores
+from sharp_tpu.ops.silhouette import sweep_scores, sweep_scores_nested
 
 _NEG = jnp.float32(-jnp.inf)
 
@@ -181,9 +181,9 @@ def opt_hclust(
             link.merges, n_real, real_mask, maxN,
             minN=minN, ncand=ncand, nc_pad=nc_pad,
         )
-    ks = (minN + jnp.arange(ncand)).astype(jnp.float32)
-    msil, ch = sweep_scores(
-        D_real, feats_unit, cuts.labels, ks, real_mask, n_real, nc_pad=nc_pad
+    msil, ch = sweep_scores_nested(
+        D_real, feats_unit, link.merges, cuts.labels, real_mask, n_real,
+        maxN, minN=minN, ncand=ncand, nc_pad=nc_pad,
     )
 
     valid = cuts.valid

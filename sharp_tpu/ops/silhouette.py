@@ -118,6 +118,146 @@ def ch_index(
     return jnp.where(denom_ok, ch, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("minN", "ncand", "nc_pad"))
+def sweep_scores_nested(
+    D_real: jax.Array,       # (n, n) pad rows/cols zeroed, zero diagonal
+    feats_unit: jax.Array,   # (n, p) centered unit rows
+    merges: jax.Array,       # (n_pad - 1, 2) linkage merge sequence
+    labels_all: jax.Array,   # (ncand, n) dense per-cut labels (cutree)
+    real_mask: jax.Array,
+    n_real: jax.Array,
+    maxN: jax.Array,
+    *,
+    minN: int,
+    ncand: int,
+    nc_pad: int,
+):
+    """Median silhouette + CH for every candidate cut, exploiting cut
+    nesting.
+
+    Candidate cuts k = minN..minN+ncand-1 are nested — cut k's clusters
+    are cut k+1's with one pair merged — so the distinct clusters across
+    the whole sweep are the <= nc_pad clusters of the finest cut plus one
+    new node per coarser cut. Per-cluster distance sums (the silhouette
+    workhorse, reference R/get_opt_hclust.R:129-154 recomputes them per
+    k) are therefore ONE (n, n) x (n, V) matmul plus ncand column
+    additions, V = nc_pad + ncand, instead of ncand full matmuls — the
+    difference between seconds and minutes at sMetaC scale (thousands of
+    fold-clusters, hundreds of candidates at >= 1e6 cells,
+    R/sMetaC.R:103-119).
+
+    Matches `sweep_scores` up to fp association.
+    """
+    n = D_real.shape[0]
+    V = nc_pad + ncand
+    rm = real_mask.astype(jnp.float32)
+
+    # nc_pad - 1 caps representable cuts: k clusters need dense ids
+    # 0..k-1 clear of the reserved garbage slot nc_pad - 1
+    kmax_eff = jnp.minimum(
+        jnp.minimum(jnp.minimum(maxN, n_real - 1), minN + ncand - 1),
+        nc_pad - 1,
+    )
+    c_fine = jnp.clip(kmax_eff - minN, 0, ncand - 1).astype(jnp.int32)
+    own_fine = labels_all[c_fine]                  # (n,) in [0, nc_pad)
+    oh_fine = jax.nn.one_hot(own_fine, V, dtype=jnp.float32) * rm[:, None]
+    counts0 = jnp.sum(oh_fine, axis=0)             # (V,)
+    sums0 = jnp.dot(D_real, oh_fine, preferred_element_type=jnp.float32)
+    centsum0 = jnp.dot(
+        oh_fine.T, feats_unit, preferred_element_type=jnp.float32
+    )                                              # (V, p)
+    alive0 = counts0 > 0.5
+
+    colv = jnp.arange(V)
+
+    def build(carry, c):
+        own, sums, counts, centsum, alive = carry
+        k = minN + c
+        apply = c < c_fine
+        t = jnp.clip(n_real - k - 1, 0, merges.shape[0] - 1)
+        i = merges[t, 0]
+        j = merges[t, 1]
+        coli = own[i]
+        colj = own[j]
+        newslot = nc_pad + c
+        ohi = (colv == coli).astype(jnp.float32)
+        ohj = (colv == colj).astype(jnp.float32)
+        sel = ohi + ohj                            # (V,)
+        new_sum = jnp.dot(sums, sel, preferred_element_type=jnp.float32)
+        new_count = jnp.dot(counts, sel, preferred_element_type=jnp.float32)
+        new_cent = jnp.dot(sel, centsum, preferred_element_type=jnp.float32)
+        at_new = colv == newslot
+        sums = jnp.where(
+            apply & at_new[None, :], new_sum[:, None], sums
+        )
+        counts = jnp.where(apply & at_new, new_count, counts)
+        centsum = jnp.where(
+            apply & at_new[:, None], new_cent[None, :], centsum
+        )
+        own = jnp.where(
+            apply & ((own == coli) | (own == colj)), newslot, own
+        )
+        alive = jnp.where(
+            apply, (alive & (colv != coli) & (colv != colj)) | at_new, alive
+        )
+        return (own, sums, counts, centsum, alive), (own, alive)
+
+    (own_f, sums, counts, centsum, alive_f), (own_all, alive_all) = (
+        jax.lax.scan(
+            build,
+            (own_fine, sums0, counts0, centsum0, alive0),
+            jnp.arange(ncand - 1, -1, -1),
+        )
+    )
+    # scan emitted in c = ncand-1..0 order; flip to candidate order
+    own_all = own_all[::-1]                        # (ncand, n)
+    alive_all = alive_all[::-1]                    # (ncand, V)
+
+    # cut-independent node quantities
+    def unit(v):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        vc = v - mu
+        return vc * jax.lax.rsqrt(
+            jnp.sum(vc * vc, axis=-1, keepdims=True) + 1e-12
+        )
+
+    cent_u = unit(centsum / jnp.maximum(counts[:, None], 1.0))  # (V, p)
+    FC = jnp.dot(feats_unit, cent_u.T, preferred_element_type=jnp.float32)
+    g = jnp.sum(feats_unit * rm[:, None], axis=0) / jnp.maximum(n_real, 1)
+    g_u = unit(g[None, :])[0]
+    corr_cg = jnp.sum(cent_u * g_u[None, :], axis=-1)           # (V,)
+    mean_node = sums / jnp.maximum(counts, 1.0)[None, :]        # (n, V)
+    nodes_ok = counts > 0.5
+
+    def score(c):
+        own = own_all[c]
+        alive = alive_all[c]
+        oh = jax.nn.one_hot(own, V, dtype=jnp.float32) * rm[:, None]
+        own_sum = jnp.sum(oh * sums, axis=1)
+        own_count = jnp.sum(oh * counts[None, :], axis=1)
+        a = own_sum / jnp.maximum(own_count - 1.0, 1.0)
+        excl = ~alive[None, :] | (oh > 0.5) | ~nodes_ok[None, :]
+        b = jnp.min(jnp.where(excl, _INF, mean_node), axis=1)
+        s = (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-12)
+        s = jnp.where(own_count <= 1.5, 0.0, s)
+        s = jnp.where(jnp.isfinite(b), s, 0.0)
+        msil = masked_median(s, real_mask, n_real)
+
+        corr_own = jnp.sum(oh * FC, axis=1)
+        W = jnp.sum(jnp.where(real_mask, 1.0 - corr_own, 0.0))
+        Bv = jnp.sum(
+            jnp.where(alive & nodes_ok, counts * (1.0 - corr_cg), 0.0)
+        )
+        k = jnp.asarray(minN + c, jnp.float32)
+        denom_ok = (k > 1) & (n_real > k)
+        ch = (Bv / jnp.maximum(k - 1.0, 1.0)) / jnp.maximum(
+            W / jnp.maximum(n_real - k, 1.0), 1e-12
+        )
+        return msil, jnp.where(denom_ok, ch, 0.0)
+
+    return jax.lax.map(score, jnp.arange(ncand))
+
+
 @functools.partial(jax.jit, static_argnames=("nc_pad",))
 def sweep_scores(
     D_real: jax.Array,

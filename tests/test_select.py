@@ -123,3 +123,42 @@ def test_symmetric_similarity_input():
     )
     assert int(res.k) == 3
     assert adjusted_rand_score(y, np.asarray(res.labels)[:n]) == pytest.approx(1.0)
+
+
+def test_nested_sweep_matches_plain():
+    """sweep_scores_nested == sweep_scores (up to fp association)."""
+    import jax.numpy as jnp
+
+    from sharp_tpu.ops.distance import pearson_distance, standardize_rows
+    from sharp_tpu.ops.linkage import ward_linkage, cutree_multi
+    from sharp_tpu.ops.silhouette import sweep_scores, sweep_scores_nested
+    from sharp_tpu.ops.distance import _unit_rows
+
+    for n, nreal, seed in [(64, 50, 0), (128, 128, 1)]:
+        rng = np.random.default_rng(seed)
+        X = np.zeros((n, 24), np.float32)
+        X[:nreal] = rng.normal(size=(nreal, 24))
+        mask = jnp.asarray(np.arange(n) < nreal)
+        Z = standardize_rows(jnp.asarray(X), mask)
+        D = pearson_distance(Z, mask)
+        D_real = jnp.where(mask[:, None] & mask[None, :], D, 0.0)
+        D_real = jnp.where(jnp.eye(n, dtype=bool), 0.0, D_real)
+        feats = _unit_rows(Z) * mask[:, None].astype(jnp.float32)
+        link = ward_linkage(D)
+        nr = jnp.asarray(nreal)
+        maxN = jnp.asarray(20)
+        minN, ncand, nc_pad = 2, 19, 24
+        cuts = cutree_multi(link.merges, nr, mask, maxN,
+                            minN=minN, ncand=ncand, nc_pad=nc_pad)
+        ks = (minN + jnp.arange(ncand)).astype(jnp.float32)
+        m1, c1 = sweep_scores(D_real, feats, cuts.labels, ks, mask, nr,
+                              nc_pad=nc_pad)
+        m2, c2 = sweep_scores_nested(D_real, feats, link.merges,
+                                     cuts.labels, mask, nr, maxN,
+                                     minN=minN, ncand=ncand, nc_pad=nc_pad)
+        valid = np.asarray(cuts.valid)
+        np.testing.assert_allclose(np.asarray(m1)[valid],
+                                   np.asarray(m2)[valid], rtol=2e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c1)[valid],
+                                   np.asarray(c2)[valid], rtol=2e-4)
