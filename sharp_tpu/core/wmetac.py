@@ -143,14 +143,19 @@ def wmetac(
 
     # --- 8: single-cluster fallback (R/wMetaC.R:147-161) -----------------
     def count_unique(lbl):
-        occ = jnp.zeros((nc_pad,), jnp.int32).at[lbl].max(
-            real_mask.astype(jnp.int32)
-        )
-        occ = occ.at[nc_pad - 1].set(0)
-        return jnp.sum(occ)
+        occ = jnp.sum(
+            jax.nn.one_hot(lbl, nc_pad, dtype=jnp.float32)
+            * rm[:, None],
+            axis=0,
+        ) > 0.5
+        occ = occ.at[nc_pad - 1].set(False)
+        return jnp.sum(occ.astype(jnp.int32))
 
     n_unique = count_unique(finalC)
-    votes2 = votes.at[jnp.arange(n_pad), finalC].set(-1.0)
+    votes2 = jnp.where(
+        jax.nn.one_hot(finalC, nc_pad, dtype=jnp.float32) > 0.5,
+        -1.0, votes,
+    )
     second = jnp.argmax(votes2, axis=1).astype(jnp.int32)
     has_second = jnp.max(votes2, axis=1) > 0.5
     alt = jnp.where(has_second, second, finalC)
@@ -159,10 +164,12 @@ def wmetac(
 
     finalC = jnp.where(real_mask, finalC, nc_pad - 1).astype(jnp.int32)
 
-    # --- 9: visualization matrix x0 --------------------------------------
-    own = jnp.take_along_axis(votes, finalC[:, None], axis=1)
+    # --- 9: visualization matrix x0 (one-hot forms: row gathers/scatters
+    # lower to element-at-a-time loops on TPU) --------------------------
+    oh_final = jax.nn.one_hot(finalC, nc_pad, dtype=jnp.float32)
+    own = jnp.sum(oh_final * votes, axis=1, keepdims=True)
     x0 = jnp.where(votes > 0, 0.5 * votes / jnp.maximum(own, 1e-12), 0.0)
-    x0 = x0.at[jnp.arange(n_pad), finalC].set(1.0)
+    x0 = jnp.where(oh_final > 0.5, 1.0, x0)
     x0 = x0 * rm[:, None]
     x0 = x0.at[:, nc_pad - 1].set(0.0)
 
