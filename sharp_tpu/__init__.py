@@ -32,6 +32,8 @@ _LAZY = {
     "get_marker_genes": ("sharp_tpu.analysis.markers", "get_marker_genes"),
     "get_percluster_exp": ("sharp_tpu.analysis.percluster", "get_percluster_exp"),
     "visualization_embedding": ("sharp_tpu.analysis.embed", "visualization_embedding"),
+    "get_opt_hclust": ("sharp_tpu.ops.select", "get_opt_hclust"),
+    "gethclust": ("sharp_tpu.ops.select", "gethclust"),
 }
 
 
@@ -53,4 +55,6 @@ __all__ = [
     "get_marker_genes",
     "get_percluster_exp",
     "visualization_embedding",
+    "get_opt_hclust",
+    "gethclust",
 ]

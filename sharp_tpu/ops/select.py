@@ -232,3 +232,141 @@ def opt_hclust(
         heights=link.heights,
         all_labels=cuts.labels,
     )
+
+
+# --- host-facing wrappers (numpy in/out, reference return schema) --------
+
+def _pad_problem(mat, symmetric: bool):
+    import numpy as np
+
+    from sharp_tpu.config import pad_dim
+
+    n = mat.shape[0]
+    npad = pad_dim(n)
+    mask = np.zeros(npad, bool)
+    mask[:n] = True
+    if symmetric:
+        Mp = np.zeros((npad, npad), np.float32)
+        Mp[:n, :n] = mat
+    else:
+        Mp = np.zeros((npad, mat.shape[1]), np.float32)
+        Mp[:n] = mat
+    return Mp, mask, n
+
+
+def get_opt_hclust(
+    mat,
+    hmethod: str = "ward.D",
+    minN: int = 2,
+    maxN: int = 40,
+    sil_thre: float = 0.35,
+    height_Ntimes: float = 2.0,
+    N_cluster=None,
+    flashmark: bool = False,
+):
+    """Public clustering kernel ~ reference `get_opt_hclust`
+    (R/get_opt_hclust.R:33-244).
+
+    `mat` is either a feature matrix (cells x p; Pearson-correlation
+    distance, R :70-74) or a symmetric similarity matrix (d = 1 - S,
+    R :66-69) — detected like the reference's isSymmetric. Returns a dict
+    with the reference's fields: f (1-based labels), v (all candidate
+    cuts), maxsil, msil, CHind, height, optN_cluster. `flashmark` is
+    accepted for signature parity and ignored (see PARITY.md deviations).
+    """
+    import numpy as np
+
+    mat = np.asarray(mat, np.float32)
+    symmetric = (
+        mat.ndim == 2
+        and mat.shape[0] == mat.shape[1]
+        and np.allclose(mat, mat.T, atol=1e-6)
+    )
+    Mp, mask, n = _pad_problem(mat, symmetric)
+    maxN = int(min(maxN, n - 1))
+    ncand = max(maxN - minN + 1, 1)
+    nc_pad = ((min(maxN, 40) + 9) // 8) * 8
+    res = opt_hclust(
+        jnp.asarray(Mp), jnp.asarray(mask), jnp.asarray(n),
+        jnp.asarray(maxN),
+        symmetric=symmetric, minN=minN, ncand=ncand, nc_pad=nc_pad,
+        sil_thre=sil_thre, height_Ntimes=height_Ntimes,
+        N_cluster=(jnp.asarray(N_cluster) if N_cluster is not None else None),
+        hmethod=hmethod,
+    )
+    return {
+        "f": np.asarray(res.labels)[:n] + 1,
+        "v": np.asarray(res.all_labels)[:, :n] + 1,
+        "maxsil": float(res.maxsil),
+        "msil": np.asarray(res.msil),
+        "CHind": np.asarray(res.ch),
+        "height": np.asarray(res.heights)[: n - 1],
+        "optN_cluster": int(res.k),
+        "oind": int(res.oind),
+    }
+
+
+def gethclust(d, my):
+    """Legacy exported kernel ~ reference `gethclust`
+    (R/getrowColor.R:134-218): fixed ward.D over a precomputed distance,
+    candidate cuts k = 2..min(40, n-1), middle-tied max median silhouette
+    with CH fallback at sil <= 0.35 — no height-gap rule.
+
+    d: (n, n) distance matrix. my: (n, p) feature matrix for the CH
+    index ("1-corr" variant). Returns the reference's result fields.
+    """
+    import numpy as np
+
+    from sharp_tpu.config import pad_dim
+    from sharp_tpu.ops.distance import (
+        PAD_PAD_DIST,
+        PAD_REAL_DIST,
+        _unit_rows,
+    )
+
+    d = np.asarray(d, np.float32)
+    my = np.asarray(my, np.float32)
+    n = d.shape[0]
+    npad = pad_dim(n)
+    mask = np.arange(npad) < n
+    Dp = np.full((npad, npad), PAD_PAD_DIST, np.float32)
+    Dp[:n, :n] = d
+    Dp[:n, n:] = PAD_REAL_DIST
+    Dp[n:, :n] = PAD_REAL_DIST
+    np.fill_diagonal(Dp, 0.0)
+    Myp = np.zeros((npad, my.shape[1]), np.float32)
+    Myp[:n] = my
+
+    maxN = min(40, n - 1)
+    minN = 2
+    ncand = max(maxN - minN + 1, 1)
+    nc_pad = ((maxN + 9) // 8) * 8
+    maskj = jnp.asarray(mask)
+    nj = jnp.asarray(n)
+    link = ward_linkage(jnp.asarray(Dp))
+    cuts = cutree_multi(
+        link.merges, nj, maskj, jnp.asarray(maxN),
+        minN=minN, ncand=ncand, nc_pad=nc_pad,
+    )
+    D_real = jnp.asarray(np.where(np.eye(npad, dtype=bool), 0.0,
+                                  np.where(np.outer(mask, mask), Dp, 0.0)))
+    feats_unit = _unit_rows(jnp.asarray(Myp)) * maskj[:, None].astype(
+        jnp.float32
+    )
+    msil, ch = sweep_scores_nested(
+        D_real, feats_unit, link.merges, cuts.labels, maskj, nj,
+        jnp.asarray(maxN), minN=minN, ncand=ncand, nc_pad=nc_pad,
+    )
+    valid = cuts.valid
+    sil_oind = _middle_tied_argmax(msil, valid)
+    maxsil = jnp.max(jnp.where(valid, msil, _NEG))
+    ch_oind = jnp.argmax(jnp.where(valid, ch, _NEG))
+    oind = jnp.where(maxsil <= 0.35, ch_oind, sil_oind)
+    return {
+        "f": np.asarray(cuts.labels[oind])[:n] + 1,
+        "maxsil": float(maxsil),
+        "msil": np.asarray(msil),
+        "CHind": np.asarray(ch),
+        "height": np.asarray(link.heights)[: n - 1],
+        "oind": int(oind),
+    }

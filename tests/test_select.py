@@ -162,3 +162,29 @@ def test_nested_sweep_matches_plain():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(c1)[valid],
                                    np.asarray(c2)[valid], rtol=2e-4)
+
+
+def test_public_get_opt_hclust_and_gethclust():
+    """Host-facing wrappers ~ ref get_opt_hclust / gethclust exports."""
+    from scipy.spatial.distance import pdist, squareform
+    from sklearn.metrics import adjusted_rand_score
+
+    import sharp_tpu
+
+    rng = np.random.default_rng(12)
+    n = 100
+    y = rng.integers(0, 4, n)
+    X = (4.0 * np.eye(4)[y] @ rng.normal(size=(4, 12))
+         + 0.2 * rng.normal(size=(n, 12))).astype(np.float32)
+
+    res = sharp_tpu.get_opt_hclust(X)
+    assert res["optN_cluster"] == 4
+    assert adjusted_rand_score(y, res["f"]) == pytest.approx(1.0)
+    assert res["f"].min() == 1  # 1-based like R
+    assert res["v"].shape[1] == n
+
+    # gethclust: precomputed distance + feature matrix
+    d = squareform(pdist(X, metric="correlation")).astype(np.float32)
+    res2 = sharp_tpu.gethclust(d, X)
+    assert adjusted_rand_score(y, res2["f"]) == pytest.approx(1.0)
+    assert len(res2["height"]) == n - 1
