@@ -563,8 +563,8 @@ def ward_linkage_tri(D: jax.Array, eager_w: int = 32) -> LinkageResult:
                               "compact_cap")
 )
 def ward_linkage_rnn(
-    D: jax.Array, pair_cap: int = 512, store_dtype=None,
-    compact_n: int = 512, compact_cap: int = 32,
+    D: jax.Array, pair_cap: int = 128, store_dtype=None,
+    compact_n: int = 256, compact_cap: int = 32,
 ) -> LinkageResult:
     """ward.D agglomeration by reciprocal-nearest-neighbor rounds — the
     data-parallel formulation.
@@ -579,12 +579,12 @@ def ward_linkage_rnn(
     recorded in a later round than its children, so the stable sort is
     topological even under ties).
 
-    Two phases bound the round count AND the round cost: full-size
-    rounds (pair caps don't bind until the mutual-pair count falls)
-    run only until <= compact_n clusters survive — a handful of rounds,
-    since each merges ~30% of clusters — then the survivors are
-    compacted into a (compact_n, compact_n) subproblem where the long
-    few-pairs-per-round tail costs ~nothing per round. Each round:
+    A size LADDER bounds the round count AND the round cost: rounds at
+    each level run only until the survivors fit the next (half-size)
+    level — 2-3 rounds each, since a round merges ~25-35% of clusters —
+    then the survivors are compacted down; the long few-pairs-per-round
+    tail runs at (compact_n, compact_n) where a round costs ~nothing.
+    Each round:
     gather the merging rows with a one-hot matmul, Lance-Williams
     elementwise, pair-pair entries fixed by a second (cap x cap)
     contraction in within-round height order (the serial association),
@@ -726,32 +726,23 @@ def ward_linkage_rnn(
         jnp.asarray(0, jnp.int32),
     )
 
-    # phase 1: full size, large cap, stop once the survivors fit the
-    # compacted problem. rounds < n is a safety bound in both phases
-    # (every round merges >= 1 pair — the global-min pair is mutual).
-    if C < n:
-        def cond1(c):
-            n_alive = jnp.sum(c[1].astype(jnp.int32))
-            return (c[7] < n - 1) & (n_alive > C) & (c[6] < n)
-
-        state = jax.lax.while_loop(cond1, make_body(n, P1), state)
-
-        # compact the survivors into a (C, C) subproblem
+    def compact_to(state, n_from, Cn):
+        """Gather the <= Cn survivors into a (Cn, Cn) subproblem."""
         D1, alive, sizes, gidx, merges, heights, rounds, cnt = state
         n_alive = jnp.sum(alive.astype(jnp.int32))
-        surv = jnp.nonzero(alive, size=C, fill_value=0)[0].astype(jnp.int32)
-        svC = jnp.arange(C) < n_alive
+        surv = jnp.nonzero(alive, size=Cn, fill_value=0)[0].astype(jnp.int32)
+        svC = jnp.arange(Cn) < n_alive
         OHs = (
-            (jnp.arange(n)[None, :] == surv[:, None]).astype(st)
+            (jnp.arange(n_from)[None, :] == surv[:, None]).astype(st)
             * svC.astype(st)[:, None]
-        )                                                    # (C, n)
+        )                                                    # (Cn, n_from)
         D2 = jnp.dot(
             jnp.dot(OHs, D1, preferred_element_type=st), OHs.T,
             preferred_element_type=st,
-        )                                                    # (C, C)
+        )                                                    # (Cn, Cn)
         D2 = jnp.where(
             svC[:, None] & svC[None, :]
-            & (jnp.arange(C)[:, None] != jnp.arange(C)[None, :]),
+            & (jnp.arange(Cn)[:, None] != jnp.arange(Cn)[None, :]),
             D2, bigst,
         )
         sizes2 = jnp.where(
@@ -759,13 +750,32 @@ def ward_linkage_rnn(
                          preferred_element_type=dt), 1.0
         )
         gidx2 = jnp.where(svC, gidx[surv], 0).astype(jnp.int32)
-        state = (D2, svC, sizes2, gidx2, merges, heights,
-                 jnp.asarray(0, jnp.int32), cnt)
+        return (D2, svC, sizes2, gidx2, merges, heights,
+                jnp.asarray(0, jnp.int32), cnt)
+
+    # ladder: at each size level, run rounds only until the survivors fit
+    # the next (half-size) level, then compact down. The level cap
+    # lvl // 2 can never bind (mutual pairs are disjoint), so a level
+    # exits in the minimum number of rounds. rounds < n is a safety bound
+    # (every round merges >= 1 pair — the global-min pair is mutual).
+    lvl = n
+    while lvl > C:
+        nxt = max(lvl // 2, C)
+
+        def cond_lvl(c, nxt=nxt):
+            n_alive = jnp.sum(c[1].astype(jnp.int32))
+            return (c[7] < n - 1) & (n_alive > nxt) & (c[6] < n)
+
+        state = jax.lax.while_loop(
+            cond_lvl, make_body(lvl, min(pair_cap, lvl // 2)), state
+        )
+        state = compact_to(state, lvl, nxt)
+        lvl = nxt
 
     def cond2(c):
         return (c[7] < n - 1) & (c[6] < n)
 
-    state = jax.lax.while_loop(cond2, make_body(min(C, n), P2), state)
+    state = jax.lax.while_loop(cond2, make_body(lvl, P2), state)
 
     merges, heights = state[4][: n - 1], state[5][: n - 1]
     order = jnp.argsort(heights, stable=True)
