@@ -801,10 +801,21 @@ def densify_labels(lab: jax.Array, real_mask: jax.Array, nc_pad: int):
     representative indices instead of a newid[lab] lookup.
     """
     n = lab.shape[0]
-    occ = ((lab == jnp.arange(n)) & real_mask).astype(jnp.int32)
+    ar = jnp.arange(n)
+    occ = ((lab == ar) & real_mask).astype(jnp.int32)
     k = jnp.sum(occ)
-    # representative lane index of each dense id (tiny nc_pad-sized gather)
-    reps = jnp.nonzero(occ, size=nc_pad, fill_value=n)[0]   # (nc_pad,)
+    # representative lane index of each dense id, scatter-free: newid is
+    # the dense id of representative r, so reps[c] = the unique r with
+    # occ[r] and newid[r] == c (empty ids get the out-of-range fill n)
+    newid = jnp.cumsum(occ) - 1
+    sel = (newid[None, :] == jnp.arange(nc_pad)[:, None]) & (
+        occ[None, :] > 0
+    )                                                        # (nc_pad, n)
+    reps = jnp.where(
+        jnp.any(sel, axis=1),
+        jnp.sum(jnp.where(sel, ar[None, :], 0), axis=1),
+        n,
+    )                                                        # (nc_pad,)
     eq = lab[:, None] == reps[None, :]                       # (n, nc_pad)
     dense = jnp.sum(
         jnp.where(eq, jnp.arange(nc_pad, dtype=jnp.int32)[None, :], 0),
