@@ -334,3 +334,24 @@ class TestRNNLinkage:
             np.asarray(r2.heights)[: nreal - 1],
             rtol=1e-5,
         )
+
+    def test_exact_ties_duplicates(self):
+        """Duplicate points create exact zero-distance ties; the stable
+        height sort must stay topological and the clustering correct."""
+        from sklearn.metrics import adjusted_rand_score
+
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        rng = np.random.default_rng(3)
+        n = 128
+        base = rng.normal(size=(8, 16)).astype(np.float32)
+        idx = rng.integers(0, 8, n)
+        X = base[idx]
+        mask = jnp.ones(n, bool)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r2 = ward_linkage_rnn(D, pair_cap=16, compact_n=64, compact_cap=8)
+        c2 = cutree_multi(r2.merges, jnp.asarray(n), mask, jnp.asarray(20),
+                          minN=8, ncand=1, nc_pad=24)
+        assert adjusted_rand_score(
+            idx, np.asarray(c2.labels)[0]
+        ) == pytest.approx(1.0)
