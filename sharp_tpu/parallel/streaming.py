@@ -81,8 +81,20 @@ def sharp_unlimited(
     n_genes: Optional[int] = None,
     manifest_dir: Optional[str] = None,
     resume: bool = True,
+    multihost: bool = False,
     **knobs,
 ) -> SharpResult:
+    """Blocked / out-of-core clustering ~ SHARP_unlimited{,2,3}.
+
+    With `multihost=True`, each jax process streams a disjoint contiguous
+    slice of the blocks (parallel/multihost.py); one all-gather of padded
+    O(clusters x p) block summaries precedes the global sMetaC, which
+    every host computes identically (shared PRNG => deterministic), so
+    meta labels agree everywhere. The returned `pred_clusters` covers
+    this host's blocks, in block order; the size-ordered relabelling is
+    computed from the GLOBAL summary counts and is identical on all
+    hosts. Single process: behaves exactly like multihost=False.
+    """
     from sharp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -145,6 +157,17 @@ def sharp_unlimited(
             else None
         )
 
+    # --- multihost block assignment ---------------------------------------
+    if multihost:
+        from sharp_tpu.parallel.multihost import block_slice, distributed_init
+
+        pidx, pcount = distributed_init()
+        my_blocks = block_slice(n_blocks, pidx, pcount)
+        log(f"multihost: process {pidx}/{pcount} handles blocks {my_blocks}")
+    else:
+        pidx, pcount = 0, 1
+        my_blocks = list(range(n_blocks))
+
     # --- per-block pass with prefetch + manifest resume ------------------
     block_results = []
     with timer.stage("block_pass"):
@@ -157,7 +180,7 @@ def sharp_unlimited(
 
             nxt = 0
             prefetched_for = None
-            for i in range(n_blocks):
+            for i in my_blocks:
                 mp = manifest_path(i)
                 if not want(i):
                     z = np.load(mp)
@@ -171,7 +194,7 @@ def sharp_unlimited(
                 else:
                     Xb = load_block(i)
                 # prefetch the next needed block
-                nxt = next((j for j in range(i + 1, n_blocks) if want(j)), None)
+                nxt = next((j for j in my_blocks if j > i and want(j)), None)
                 future = (
                     pool.submit(load_block, nxt) if nxt is not None else None
                 )
@@ -183,10 +206,38 @@ def sharp_unlimited(
                 block_results.append((labels, cents, counts))
                 log(f"block {i}: {len(labels)} cells -> {len(counts)} clusters")
 
+    # --- gather block summaries (one collective across hosts) ------------
+    with timer.stage("summary_gather"):
+        p = cfg.reduced_ndim
+        if multihost and pcount > 1:
+            from sharp_tpu.parallel.multihost import (
+                allgather_summaries,
+                block_slice as _bslice,
+                pad_block_summary,
+            )
+
+            bud = ((min(cfg.maxN_cluster, 40) + 9) // 8) * 8
+            max_local = (n_blocks + pcount - 1) // pcount
+            payload = np.zeros((max_local, bud, p + 1), np.float32)
+            for bi, (_, cents, counts) in enumerate(block_results):
+                cp, cc = pad_block_summary(cents, counts, bud)
+                payload[bi, :, :p] = cp
+                payload[bi, :, p] = cc
+            gathered = allgather_summaries(payload, pcount)
+            gathered = gathered.reshape(pcount, max_local, bud, p + 1)
+            summaries = []
+            for h in range(pcount):
+                for bi in range(len(_bslice(n_blocks, h, pcount))):
+                    blk = gathered[h, bi]
+                    C = int((blk[:, p] > 0).sum())
+                    summaries.append((blk[:C, :p], blk[:C, p]))
+        else:
+            summaries = [(c, n) for _, c, n in block_results]
+
     # --- global sMetaC over block-cluster centroids ----------------------
     with timer.stage("global_smetac"):
-        all_cents = np.concatenate([c for _, c, _ in block_results], axis=0)
-        all_counts = np.concatenate([n for _, _, n in block_results])
+        all_cents = np.concatenate([c for c, _ in summaries], axis=0)
+        all_counts = np.concatenate([n for _, n in summaries])
         NC = all_cents.shape[0]
         NC_pad = pad_dim(max(NC, 8))
         cents_p = np.zeros((NC_pad, all_cents.shape[1]), np.float32)
@@ -214,18 +265,25 @@ def sharp_unlimited(
         tf = np.asarray(sres.tf)
 
     with timer.stage("finalize"):
+        # global meta-cluster sizes from the summary counts (identical on
+        # every host), then relabel by decreasing size
+        # (R/SHARP_unlimited.R:179-183)
+        block_ncl = [len(n) for _, n in summaries]
+        offsets = np.concatenate([[0], np.cumsum(block_ncl)])
+        meta_sizes = np.zeros(int(tf.max()) + 1 if len(tf) else 1)
+        np.add.at(meta_sizes, tf[: int(offsets[-1])], all_counts)
+        present = np.nonzero(meta_sizes > 0)[0]
+        order = present[np.argsort(-meta_sizes[present], kind="stable")]
+        remap = np.zeros(len(meta_sizes), np.int32)
+        remap[order] = np.arange(1, len(order) + 1)
+
+        # map this host's cells through their blocks' global offsets
         parts = []
-        offset = 0
-        for labels, cents, counts in block_results:
-            parts.append(tf[offset + labels])
-            offset += len(counts)
-        raw = np.concatenate(parts)
-        # relabel by decreasing cluster size (R/SHARP_unlimited.R:179-183)
-        vals, cnts = np.unique(raw, return_counts=True)
-        order = vals[np.argsort(-cnts)]
-        remap = {v: i + 1 for i, v in enumerate(order)}
-        final = np.asarray([remap[v] for v in raw], np.int32)
-        vals, cnts = np.unique(final, return_counts=True)
+        for bi, (labels, _, _) in zip(my_blocks, block_results):
+            parts.append(remap[tf[offsets[bi] + labels]])
+        final = np.concatenate(parts).astype(np.int32)
+        vals = np.arange(1, len(order) + 1)  # global ids, size-ordered
+        cnts = meta_sizes[order].astype(np.int64)
 
     return SharpResult(
         pred_clusters=final,

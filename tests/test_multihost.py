@@ -1,0 +1,62 @@
+"""Multi-host orchestration: block assignment + summary wire format.
+
+True multi-process runs need a pod; these tests pin the deterministic
+pieces (contiguous slices, padding, single-process degenerate path) that
+make every host compute the identical global sMetaC.
+"""
+
+import numpy as np
+import pytest
+
+from sharp_tpu.parallel.multihost import (
+    allgather_summaries,
+    block_slice,
+    distributed_init,
+    pad_block_summary,
+)
+
+
+def test_block_slice_partition():
+    for n_blocks in [1, 5, 26, 27]:
+        for pc in [1, 2, 4, 8]:
+            slices = [block_slice(n_blocks, h, pc) for h in range(pc)]
+            flat = [b for s in slices for b in s]
+            assert flat == list(range(n_blocks))  # disjoint, ordered
+            lens = [len(s) for s in slices]
+            assert max(lens) - min(lens) <= 1    # balanced
+
+
+def test_pad_block_summary_roundtrip():
+    cents = np.arange(12, dtype=np.float32).reshape(3, 4)
+    counts = np.asarray([5.0, 2.0, 1.0], np.float32)
+    cp, cc = pad_block_summary(cents, counts, budget=8)
+    assert cp.shape == (8, 4) and cc.shape == (8,)
+    C = int((cc > 0).sum())
+    np.testing.assert_array_equal(cp[:C], cents)
+    np.testing.assert_array_equal(cc[:C], counts)
+    with pytest.raises(ValueError):
+        pad_block_summary(cents, counts, budget=2)
+
+
+def test_single_process_degenerate():
+    assert distributed_init() == (0, 1)
+    x = np.ones((3, 4), np.float32)
+    np.testing.assert_array_equal(allgather_summaries(x), x)
+
+
+def test_sharp_unlimited_multihost_single_process_identical():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp_unlimited
+
+    X, y = make_tpm_like(n_cells=500, n_genes=400, n_types=4, seed=5)
+    blocks = [X[:200], X[200:350], X[350:]]
+    r1 = sharp_unlimited(blocks, rN_seed=3, ensize_K=3, base_ncells=200,
+                         partition_ncells=128, multihost=False)
+    r2 = sharp_unlimited(blocks, rN_seed=3, ensize_K=3, base_ncells=200,
+                         partition_ncells=128, multihost=True)
+    np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
+    assert r1.N_pred_cluster == r2.N_pred_cluster
