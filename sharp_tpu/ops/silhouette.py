@@ -209,9 +209,8 @@ def sweep_scores_nested(
             jnp.arange(ncand - 1, -1, -1),
         )
     )
-    # scan emitted in c = ncand-1..0 order; flip to candidate order
-    own_all = own_all[::-1]                        # (ncand, n)
-    alive_all = alive_all[::-1]                    # (ncand, V)
+    # scan emitted in c = ncand-1..0 order; consumers index it reversed
+    # (an array flip would lower to an n-sized gather)
 
     # cut-independent node quantities
     def unit(v):
@@ -230,8 +229,8 @@ def sweep_scores_nested(
     nodes_ok = counts > 0.5
 
     def score(c):
-        own = own_all[c]
-        alive = alive_all[c]
+        own = own_all[ncand - 1 - c]
+        alive = alive_all[ncand - 1 - c]
         oh = jax.nn.one_hot(own, V, dtype=jnp.float32) * rm[:, None]
         own_sum = jnp.sum(oh * sums, axis=1)
         own_count = jnp.sum(oh * counts[None, :], axis=1)
@@ -241,7 +240,6 @@ def sweep_scores_nested(
         s = (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-12)
         s = jnp.where(own_count <= 1.5, 0.0, s)
         s = jnp.where(jnp.isfinite(b), s, 0.0)
-        msil = masked_median(s, real_mask, n_real)
 
         corr_own = jnp.sum(oh * FC, axis=1)
         W = jnp.sum(jnp.where(real_mask, 1.0 - corr_own, 0.0))
@@ -253,9 +251,15 @@ def sweep_scores_nested(
         ch = (Bv / jnp.maximum(k - 1.0, 1.0)) / jnp.maximum(
             W / jnp.maximum(n_real - k, 1.0), 1e-12
         )
-        return msil, jnp.where(denom_ok, ch, 0.0)
+        return s, jnp.where(denom_ok, ch, 0.0)
 
-    return jax.lax.map(score, jnp.arange(ncand))
+    # chunked map (sequential-iteration overhead dominates otherwise);
+    # medians batched into one sort over the cut axis
+    s_all, ch = jax.lax.map(
+        score, jnp.arange(ncand), batch_size=min(8, ncand)
+    )
+    msil = jax.vmap(lambda s: masked_median(s, real_mask, n_real))(s_all)
+    return msil, ch
 
 
 @functools.partial(jax.jit, static_argnames=("nc_pad",))

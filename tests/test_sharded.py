@@ -43,3 +43,14 @@ def test_sharded_uneven_folds():
     )
     assert len(res.pred_clusters) == 700
     assert adjusted_rand_score(y, res.pred_clusters) >= 0.9
+
+
+def test_sharded_rnn_backend():
+    """The RNN linkage's while-rounds must compile and run under SPMD
+    sharding (vmapped cond -> cross-shard lockstep all-reduce) and give
+    exactly the xla backend's clustering."""
+    X, y = make_tpm_like(n_cells=700, n_genes=500, n_types=4, seed=19)
+    kw = dict(rN_seed=5, base_ncells=400, partition_ncells=160, ensize_K=3)
+    r_ref = sharp(X, n_devices=1, linkage_backend="xla", **kw)
+    r_rnn = sharp(X, n_devices=4, linkage_backend="rnn", **kw)
+    np.testing.assert_array_equal(r_ref.pred_clusters, r_rnn.pred_clusters)
