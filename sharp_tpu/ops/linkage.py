@@ -699,14 +699,30 @@ def ward_linkage_rnn(
                 OHa.T.astype(dt), nb, preferred_element_type=dt
             )
 
+            # append records at offset cnt via a one-hot matmul write —
+            # a dynamic_update_slice here would lower to a serialized
+            # scatter-while under the vmapped (batched-offset) call
             ga = gidx[a]
             gb = gidx[b]
             ents = jnp.stack(
                 [jnp.where(sv, ga, 0), jnp.where(sv, gb, 0)], axis=1
-            ).astype(jnp.int32)
-            merges = jax.lax.dynamic_update_slice(merges, ents, (cnt, 0))
-            heights = jax.lax.dynamic_update_slice(
-                heights, jnp.where(sv, h, 0.0).astype(dt), (cnt,)
+            ).astype(dt)                                  # (P, 2), exact
+            pos = jnp.arange(mbuf)
+            M = ((pos[:, None] - cnt) == jnp.arange(P)[None, :]) & sv[None, :]
+            Mf = M.astype(dt)
+            row_hit = jnp.any(M, axis=1)
+            merges = jnp.where(
+                row_hit[:, None],
+                jnp.dot(Mf, ents, preferred_element_type=dt).astype(
+                    jnp.int32
+                ),
+                merges,
+            )
+            heights = jnp.where(
+                row_hit,
+                jnp.dot(Mf, jnp.where(sv, h, 0.0).astype(dt),
+                        preferred_element_type=dt),
+                heights,
             )
             return (D, alive, sizes, gidx, merges, heights,
                     rounds + 1, cnt + n_pairs)
