@@ -281,7 +281,10 @@ def sharp_unlimited(
         parts = []
         for bi, (labels, _, _) in zip(my_blocks, block_results):
             parts.append(remap[tf[offsets[bi] + labels]])
-        final = np.concatenate(parts).astype(np.int32)
+        final = (
+            np.concatenate(parts).astype(np.int32)
+            if parts else np.zeros((0,), np.int32)
+        )
         vals = np.arange(1, len(order) + 1)  # global ids, size-ordered
         cnts = meta_sizes[order].astype(np.int64)
 
