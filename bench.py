@@ -6,12 +6,29 @@ Baseline: the reference publishes a single per-cell rate — the Wang
 pancreas run, 479 cells in 0.16285 min = 49.0 cells/s on an i5-7300U
 (reference README.md:97-103). `vs_baseline` is our cells/s over that rate.
 
-The workload mirrors the reference's 1.3M-cell configuration class
-(blocks of cells x 27,998 genes, shared-RP ensemble K=5, fold size 2000,
-per-fold Ward + wMetaC, global sMetaC — README.md:287-303), scaled by
-SHARP_BENCH_CELLS (default 65,536). Synthetic expression is generated
-*on device* so the bench measures the compute path, not host RAM limits;
-ARI vs the planted types is reported alongside throughput.
+Workload: the reference's largest demonstrated configuration — 1,306,127
+cells x 27,998 genes as ~50k-cell blocks (README.md:287-303) — run through
+the production two-level path: per-fold ensemble + wMetaC, per-block
+sMetaC fuse, then one global sMetaC over block-cluster summaries (the
+SHARP_unlimited structure, minus disk I/O: synthetic expression is
+generated ON DEVICE so the bench measures the compute path).
+
+Quality is a HARD GATE (round-1 postmortem: a TPU numerics regression
+shipped a green BENCH with ARI -0.0):
+  * before timing, the production linkage backends must produce
+    structurally valid merge sequences on the device at n_pad = 2048
+    (`validate_merge_sequence`), else exit 2;
+  * after the run, ARI vs the planted types must be >= SHARP_BENCH_MIN_ARI
+    (default 0.80 at the 1.3M scale, where smetac_range's minN floor
+    deliberately over-clusters; 0.95 at the 65k quick scale), else exit 1.
+
+Env knobs: SHARP_BENCH_CELLS (default 1306127), SHARP_BENCH_BLOCK (50000),
+SHARP_BENCH_GENES, SHARP_BENCH_TYPES (38 at >= 1e6 cells — the reference's
+1.3M dataset is mouse organogenesis with 38 types — else 12),
+SHARP_BENCH_K, SHARP_BENCH_P, SHARP_BENCH_FOLD, SHARP_BENCH_MIN_ARI,
+SHARP_BENCH_QUICK=1 (65,536-cell single-block configuration),
+SHARP_BENCH_PROFILE=<dir> (jax profiler trace), SHARP_BENCH_STAGES=1
+(per-stage second breakdown on one fold group).
 """
 
 import json
@@ -22,49 +39,116 @@ import time
 import numpy as np
 
 
+def parity_precheck(pearson_distance, B):
+    """On-device structural validation of the fast linkage backends."""
+    import jax
+    import jax.numpy as jnp
+
+    from sharp_tpu.ops.linkage import (
+        resolve_linkage_backend,
+        validate_merge_sequence,
+        ward_linkage_rnn,
+    )
+
+    rng = np.random.default_rng(11)
+    n_real = B - 48
+    types = rng.integers(0, 12, n_real)
+    cents = rng.normal(size=(12, 64)) * 3.0
+    X = np.zeros((B, 64), np.float32)
+    X[:n_real] = cents[types] + rng.normal(size=(n_real, 64))
+    mask = np.arange(B) < n_real
+    D = pearson_distance(jnp.asarray(X), jnp.asarray(mask))
+
+    problems = {}
+    backend = resolve_linkage_backend("auto", B)
+    checks = [("rnn_f32", None), ("rnn_bf16", jnp.bfloat16)]
+    for tag, st in checks:
+        res = jax.block_until_ready(ward_linkage_rnn(D, store_dtype=st))
+        errs = validate_merge_sequence(res.merges, res.heights, n_real, B)
+        if errs:
+            problems[tag] = errs
+    if jax.default_backend() == "tpu" and B <= 1024:
+        from sharp_tpu.ops.linkage_pallas import ward_linkage_pallas
+
+        res = jax.block_until_ready(ward_linkage_pallas(D))
+        errs = validate_merge_sequence(res.merges, res.heights, n_real, B)
+        if errs:
+            problems["pallas_f32"] = errs
+    return backend, problems
+
+
 def main():
-    n_cells = int(os.environ.get("SHARP_BENCH_CELLS", 65536))
+    quick = os.environ.get("SHARP_BENCH_QUICK") == "1"
+    n_cells = int(
+        os.environ.get("SHARP_BENCH_CELLS", 65536 if quick else 1306127)
+    )
     n_genes = int(os.environ.get("SHARP_BENCH_GENES", 27998))
-    n_types = int(os.environ.get("SHARP_BENCH_TYPES", 12))
+    default_types = 12 if n_cells < 1e6 else 38
+    n_types = int(os.environ.get("SHARP_BENCH_TYPES", default_types))
     K = int(os.environ.get("SHARP_BENCH_K", 5))
     p = int(os.environ.get("SHARP_BENCH_P", 256))
     fold = int(os.environ.get("SHARP_BENCH_FOLD", 2000))
+    block_cells = int(os.environ.get("SHARP_BENCH_BLOCK", 50000))
+    min_ari = float(
+        os.environ.get(
+            "SHARP_BENCH_MIN_ARI", 0.95 if n_cells < 1e6 else 0.80
+        )
+    )
 
     import jax
 
-    # persistent compilation cache: the composed fold program with the
-    # embedded Pallas linkage takes minutes to compile cold
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "sharp_tpu", "xla"),
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # persist even sub-second compiles: the sMetaC fuse program (~2.5s
-        # compile) sits below the default threshold and would otherwise
-        # recompile on every run
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    except Exception:
-        pass
+    from sharp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 
     from sharp_tpu.config import resolve_config, pad_dim
     from sharp_tpu.core.fold import fold_program, fold_static_args
     from sharp_tpu.core.large import fold_sizes, fuse_folds, summary_to_host
-    from sharp_tpu.ops.rp import ensemble_rp_matrix
+    from sharp_tpu.ops.distance import pearson_distance
+    from sharp_tpu.ops.rp import ensemble_rp_matrix, rp_project_ensemble
+    from sharp_tpu.parallel.streaming import global_block_fuse
     from sharp_tpu.types import finalize_labels
     from sharp_tpu.analysis.ari import ari
 
     cfg = resolve_config(
         n_cells, n_genes, ensize_K=K, reduced_ndim=p,
         partition_ncells=fold, rN_seed=7, dtype_compute="bfloat16",
+        forview=False,
     )
-    sizes = fold_sizes(n_cells, cfg.partition_ncells)
-    T = len(sizes)
-    B = pad_dim(max(sizes))
+
+    # block partition (reference: 25 x 50,000 + 56,127, README.md:289)
+    blocks = []
+    left = n_cells
+    while left > 0:
+        take = block_cells if left >= 2 * block_cells else left
+        blocks.append(take)
+        left -= take
+    # (block_id, fold_size) list, global fold order
+    fold_plan = []
+    for bi, bn in enumerate(blocks):
+        for sz in fold_sizes(bn, cfg.partition_ncells):
+            fold_plan.append((bi, sz))
+    T = len(fold_plan)
+    B = pad_dim(max(sz for _, sz in fold_plan))
     static = fold_static_args(cfg)
+
+    # --- hardware parity pre-check (refuse to publish invalid numbers) ---
+    backend, problems = parity_precheck(pearson_distance, B)
+    if problems:
+        print(json.dumps({
+            "metric": "cells_per_second_end_to_end",
+            "value": 0.0,
+            "unit": "cells/s",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": "linkage parity pre-check FAILED on device",
+                "problems": problems,
+                "backend": jax.default_backend(),
+            },
+        }))
+        sys.exit(2)
 
     # --- on-device synthetic expression ---------------------------------
     # lognormal base profile, equidistant signed DE programs (same design
@@ -91,7 +175,7 @@ def main():
         X = X / jnp.maximum(jnp.sum(X, axis=1, keepdims=True), 1e-9) * 1e6
         return X.astype(jnp.float32), y
 
-    gen_fold_j = jax.jit(gen_fold, static_argnums=())
+    gen_fold_j = jax.jit(gen_fold)
 
     R_all = ensemble_rp_matrix(
         jax.random.PRNGKey(7), K, n_genes, p, dtype=jnp.bfloat16
@@ -121,13 +205,51 @@ def main():
         return jnp.stack(Xs), ys, jnp.stack(ms)
 
     # --- warmup / compile ------------------------------------------------
-    g_sizes0 = sizes[:GROUP] + [sizes[0]] * (GROUP - len(sizes[:GROUP]))
+    g_sizes0 = [sz for _, sz in fold_plan[:GROUP]]
+    g_sizes0 += [g_sizes0[0]] * (GROUP - len(g_sizes0))
     Xg, ys, ms = gen_group(0, g_sizes0)
     t0 = time.time()
     _ = jax.block_until_ready(
         run_group_j(Xg, ms, jnp.asarray(g_sizes0, jnp.int32))
     )
     compile_s = time.time() - t0
+
+    # --- optional per-stage breakdown on one group -----------------------
+    stages = {}
+    if os.environ.get("SHARP_BENCH_STAGES") == "1":
+        from sharp_tpu.ops.linkage import ward_linkage_rnn
+
+        def timed(f, *a, r=3):
+            jax.block_until_ready(f(*a))
+            t0 = time.time()
+            for _ in range(r):
+                out = f(*a)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / r
+
+        rp_j = jax.jit(jax.vmap(
+            lambda X: rp_project_ensemble(
+                jnp.log2(1.0 + X), R_all, K=K
+            )
+        ))
+        proj = rp_j(Xg)
+        dist_j = jax.jit(jax.vmap(jax.vmap(
+            lambda Z: pearson_distance(Z, ms[0])
+        )))
+        D4 = dist_j(proj)
+        link_j = jax.jit(jax.vmap(jax.vmap(ward_linkage_rnn)))
+        stages = {
+            "rp_project_s": round(timed(rp_j, Xg), 4),
+            "distance_s": round(timed(dist_j, proj), 4),
+            "linkage_s": round(timed(link_j, D4), 4),
+            "fold_program_total_s": round(
+                timed(
+                    run_group_j, Xg, ms,
+                    jnp.asarray(g_sizes0, jnp.int32),
+                ), 4,
+            ),
+            "per_group_folds": GROUP,
+        }
 
     # --- timed run -------------------------------------------------------
     # synthetic generation is NOT part of the measured pipeline: each
@@ -138,11 +260,35 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     truth = []
-    frs = []
     fold_pass_s = 0.0
+    block_fuse_s = 0.0
     gen_s = 0.0
+    block_frs = {bi: [] for bi in range(len(blocks))}
+    block_summaries = [None] * len(blocks)
+    block_labels = [None] * len(blocks)
+
+    def fuse_ready_blocks():
+        """Fuse any block whose folds are all processed, then free them."""
+        nonlocal block_fuse_s
+        for bi, bn in enumerate(blocks):
+            frs = block_frs.get(bi)
+            if frs is None or len(frs) != sum(
+                1 for b, _ in fold_plan if b == bi
+            ):
+                continue
+            t0 = time.time()
+            fres = fuse_folds(frs, cfg, n_total=bn)
+            uniq = np.unique(fres.labels)
+            block_summaries[bi] = (
+                fres.cents[uniq], fres.counts[uniq]
+            )
+            block_labels[bi] = np.searchsorted(uniq, fres.labels)
+            block_fuse_s += time.time() - t0
+            block_frs[bi] = None  # free
+
     for g0 in range(0, T, GROUP):
-        gsizes = sizes[g0 : g0 + GROUP]
+        plan = fold_plan[g0 : g0 + GROUP]
+        gsizes = [sz for _, sz in plan]
         G = len(gsizes)
         pad_sizes = gsizes + [gsizes[0]] * (GROUP - G)
         tg = time.time()
@@ -153,27 +299,49 @@ def main():
         out = run_group_j(Xg, ms, jnp.asarray(pad_sizes, jnp.int32))
         out = jax.block_until_ready(out)
         fold_pass_s += time.time() - t0
-        for gi, sz in enumerate(gsizes):
+        for gi, (bi, sz) in enumerate(plan):
             s = jax.tree.map(lambda a: a[gi], out)
             truth.append(np.asarray(ys[gi])[:sz])
-            frs.append(summary_to_host(s, sz))
+            block_frs[bi].append(summary_to_host(s, sz, forview=False))
+        fuse_ready_blocks()
     if profile_dir:
         jax.profiler.stop_trace()
 
-    # warm the fuse program's trace/compile (one-time per-process cost,
-    # same treatment as the fold program's warmup above), then time it
-    t0 = time.time()
-    fuse_folds(frs, cfg, n_total=n_cells)
-    compile_s += time.time() - t0
-    t0 = time.time()
-    raw_labels, n_final, _ = fuse_folds(frs, cfg, n_total=n_cells)
-    labels = finalize_labels(raw_labels, merge_tiny=True)
-    total_s = fold_pass_s + (time.time() - t0)
+    # --- global fuse over block summaries --------------------------------
+    # (single block: the block consensus IS the final clustering, as the
+    # reference's SHARP_unlimited degrades to plain SHARP for one block)
+    if len(blocks) == 1:
+        t0 = time.time()
+        labels = finalize_labels(
+            block_labels[0].astype(np.int32), merge_tiny=True
+        )
+        global_fuse_s = time.time() - t0
+    else:
+        # warm the fuse program's trace/compile (one-time per-process
+        # cost), then time it
+        t0 = time.time()
+        global_block_fuse(block_summaries, cfg)
+        compile_s += time.time() - t0
+        t0 = time.time()
+        tf, remap, offsets, order, meta_sizes = global_block_fuse(
+            block_summaries, cfg
+        )
+        parts = [
+            remap[tf[offsets[bi] + block_labels[bi]]]
+            for bi in range(len(blocks))
+        ]
+        raw = np.concatenate(parts).astype(np.int32)
+        labels = finalize_labels(raw, merge_tiny=True)
+        global_fuse_s = time.time() - t0
+
+    total_s = fold_pass_s + block_fuse_s + global_fuse_s
     truth = np.concatenate(truth)
     score = ari(truth, labels)
+    n_final = len(np.unique(labels))
 
     cells_per_s = n_cells / total_s
     baseline = 479 / 9.771  # reference Wang-pancreas rate (cells/s)
+    gate_ok = bool(score >= min_ari)
     out = {
         "metric": "cells_per_second_end_to_end",
         "value": round(cells_per_s, 1),
@@ -182,31 +350,46 @@ def main():
         "detail": {
             "n_cells": n_cells,
             "n_genes": n_genes,
+            "n_blocks": len(blocks),
             "n_folds": T,
+            "n_planted_types": n_types,
             "ensemble_K": K,
             "reduced_dim": p,
             "ari_vs_planted_types": round(float(score), 4),
+            "ari_gate_min": min_ari,
+            "ari_gate_passed": gate_ok,
             "n_clusters_found": int(n_final),
+            "linkage_backend": backend,
             "fold_pass_seconds": round(fold_pass_s, 2),
+            "block_fuse_seconds": round(block_fuse_s, 2),
+            "global_fuse_seconds": round(global_fuse_s, 2),
             "total_seconds": round(total_s, 2),
             "datagen_seconds_untimed": round(gen_s, 2),
             "compile_seconds": round(compile_s, 2),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            **({"stages": stages} if stages else {}),
         },
     }
     print(json.dumps(out))
+    if not gate_ok:
+        sys.stderr.write(
+            f"QUALITY GATE FAILED: ARI {score:.4f} < {min_ari} "
+            f"({n_final} clusters from {n_types} planted types)\n"
+        )
+        sys.exit(1)
 
 
 def _watchdog_main():
-    """Run the measurement in a child process with a timeout + one retry.
+    """Run the measurement in a child process with a timeout + retries.
 
     The remote TPU compile service in this environment occasionally wedges
     on a cold compile; a killed retry almost always hits the server-side
-    compile cache and completes fast."""
+    compile cache and completes fast. The child's exit status (quality
+    gates!) is propagated."""
     import subprocess
 
-    budget = int(os.environ.get("SHARP_BENCH_TIMEOUT", 1200))
+    budget = int(os.environ.get("SHARP_BENCH_TIMEOUT", 1800))
     for attempt in range(3):
         try:
             proc = subprocess.run(
@@ -215,11 +398,15 @@ def _watchdog_main():
                 capture_output=True,
                 text=True,
             )
+            emitted = False
             for line in proc.stdout.splitlines():
                 if line.strip().startswith("{"):
                     print(line.strip())
-                    return 0
-            sys.stderr.write(proc.stderr[-2000:] + "\n")
+                    emitted = True
+            if emitted or proc.returncode != 0:
+                if proc.returncode != 0:
+                    sys.stderr.write(proc.stderr[-2000:] + "\n")
+                return proc.returncode
         except subprocess.TimeoutExpired:
             sys.stderr.write(
                 f"bench attempt {attempt + 1} timed out after {budget}s; "

@@ -33,6 +33,7 @@ class FoldSummary(NamedTuple):
     x0: jax.Array         # (B, nc_pad)
     k_per: jax.Array      # (K,)
     maxsil: jax.Array     # (K,)
+    overflow: jax.Array   # () bool — wMetaC allc_pad budget exceeded (degraded consensus)
 
 
 def fold_static_args(cfg: SharpConfig) -> dict:
@@ -100,7 +101,10 @@ def fold_program(
     )
     oh = jax.nn.one_hot(wres.finalC, nc_pad, dtype=jnp.float32)
     oh = oh * mask[:, None].astype(jnp.float32)
-    cent_sum = jnp.dot(oh.T, blk.mean_proj, preferred_element_type=jnp.float32)
+    cent_sum = jnp.dot(
+        oh.T, blk.mean_proj, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     counts = jnp.sum(oh, axis=0)
     return FoldSummary(
         finalC=wres.finalC,
@@ -111,4 +115,5 @@ def fold_program(
         x0=wres.x0,
         k_per=blk.k_per,
         maxsil=blk.maxsil,
+        overflow=wres.overflow,
     )

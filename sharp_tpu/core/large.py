@@ -17,7 +17,7 @@ O(clusters x p), never O(cells^2).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,18 +49,26 @@ def fold_sizes(n: int, partition_ncells: int) -> List[int]:
     return sizes
 
 
-def summary_to_host(s, n_fold: int) -> dict:
-    """Device FoldSummary -> host dict, truncated to real cells."""
-    return {
+def summary_to_host(s, n_fold: int, forview: bool = True) -> dict:
+    """Device FoldSummary -> host dict, truncated to real cells.
+
+    `forview=False` skips the mean_proj / x0 planes — the only O(B x p)
+    payloads — cutting the device->host traffic per fold from ~2.5 MB to
+    ~60 KB. The clustering path needs only the O(clusters x p) summary.
+    """
+    out = {
         "finalC": np.asarray(s.finalC)[:n_fold],
         "n_meta": int(s.n_meta),
         "cent_sum": np.asarray(s.cent_sum),
         "counts": np.asarray(s.counts),
-        "mean_proj": np.asarray(s.mean_proj)[:n_fold],
-        "x0": np.asarray(s.x0)[:n_fold],
         "k_per": np.asarray(s.k_per),
         "maxsil": np.asarray(s.maxsil),
+        "overflow": bool(np.asarray(s.overflow)),
     }
+    if forview:
+        out["mean_proj"] = np.asarray(s.mean_proj)[:n_fold]
+        out["x0"] = np.asarray(s.x0)[:n_fold]
+    return out
 
 
 def process_fold(
@@ -88,7 +96,24 @@ def process_fold(
         has_indN=cfg.indN_cluster is not None,
         **st,
     )
-    return summary_to_host(s, n_fold)
+    return summary_to_host(s, n_fold, forview=cfg.forview)
+
+
+class FuseResult(NamedTuple):
+    """Result of the cross-fold sMetaC fuse.
+
+    Width invariant (uniform across fold counts): `labels` index the
+    columns of `x0`/rows of `cents`, and the LAST slot (W - 1) is the
+    reserved garbage slot — W is `meta_nc_pad` when T > 1 and the fold's
+    `nc_pad` when T == 1 (the fold-local consensus IS the block meta
+    clustering then).
+    """
+
+    labels: np.ndarray        # (n_total,) meta label per cell, fold order
+    n_final: int
+    x0: Optional[np.ndarray]  # (n_total, W) vis matrix; None when folds carry no x0
+    cents: np.ndarray         # (W, p) per-meta-cluster centroid in mean-RP space
+    counts: np.ndarray        # (W,) cells per meta cluster
 
 
 def fuse_folds(
@@ -96,14 +121,20 @@ def fuse_folds(
     cfg: SharpConfig,
     n_total: Optional[int] = None,
     finalN_cluster: Optional[int] = None,
-):
-    """Global sMetaC over per-fold cluster summaries.
-
-    Returns (labels_per_cell (concatenated over folds), n_final, x0_global).
-    """
+) -> FuseResult:
+    """Global sMetaC over per-fold cluster summaries (R/SHARP.R:747-773)."""
     n_total = n_total or sum(len(fr["finalC"]) for fr in fold_results)
     T = len(fold_results)
     nc_pad = cfg.nc_pad
+    has_x0 = "x0" in fold_results[0]
+
+    n_over = sum(1 for fr in fold_results if fr.get("overflow"))
+    if n_over:
+        log(
+            f"WARNING: wMetaC cluster budget (allc_pad) overflowed in "
+            f"{n_over}/{T} folds — consensus is degraded; raise "
+            f"maxN_cluster/ensize_K headroom or partition into smaller folds"
+        )
 
     # compact global (fold, cluster) ids on host — counts are tiny
     entries = []  # (t, c) with nonzero membership
@@ -111,12 +142,19 @@ def fuse_folds(
         present = np.nonzero(fr["counts"][: nc_pad - 1] > 0)[0]
         entries.extend((t, int(c)) for c in present)
     NC = len(entries)
+    p = fold_results[0]["cent_sum"].shape[1]
     if T == 1:
         fr = fold_results[0]
-        return fr["finalC"], fr["n_meta"], fr["x0"]
+        cents1 = fr["cent_sum"] / np.maximum(fr["counts"], 1.0)[:, None]
+        return FuseResult(
+            labels=fr["finalC"],
+            n_final=fr["n_meta"],
+            x0=fr.get("x0"),
+            cents=cents1.astype(np.float32),
+            counts=fr["counts"].astype(np.float32),
+        )
 
     NC_pad = pad_dim(max(NC, 8))
-    p = fold_results[0]["cent_sum"].shape[1]
     cents = np.zeros((NC_pad, p), np.float32)
     valid = np.zeros(NC_pad, bool)
     lut = {}  # (t, c) -> compact id
@@ -145,6 +183,17 @@ def fuse_folds(
     )
     tf = np.asarray(sres.tf)
 
+    # per-meta-cluster centroids: sum the fold-cluster centroid sums by
+    # meta label (exact weighted mean, no per-cell pass)
+    meta_cent_sum = np.zeros((meta_nc_pad, p), np.float32)
+    meta_counts = np.zeros(meta_nc_pad, np.float32)
+    for g, (t, c) in enumerate(entries):
+        fr = fold_results[t]
+        m = tf[g]
+        meta_cent_sum[m] += fr["cent_sum"][c]
+        meta_counts[m] += fr["counts"][c]
+    meta_cents = meta_cent_sum / np.maximum(meta_counts, 1.0)[:, None]
+
     labels_parts = []
     x0_parts = []
     for t, fr in enumerate(fold_results):
@@ -154,16 +203,23 @@ def fuse_folds(
             if (t, c) in lut:
                 local_map[c] = tf[lut[(t, c)]]
         labels_parts.append(local_map[fr["finalC"]])
-        # x0 columns remapped to global meta clusters (summed contributions)
-        M = np.zeros((nc_pad, meta_nc_pad), np.float32)
-        for c in range(nc_pad - 1):
-            if local_map[c] < meta_nc_pad - 1:
-                M[c, local_map[c]] = 1.0
-        x0_parts.append(fr["x0"] @ M)
+        if has_x0:
+            # x0 columns remapped to global meta clusters (summed)
+            M = np.zeros((nc_pad, meta_nc_pad), np.float32)
+            for c in range(nc_pad - 1):
+                if local_map[c] < meta_nc_pad - 1:
+                    M[c, local_map[c]] = 1.0
+            x0_parts.append(fr["x0"] @ M)
 
     labels = np.concatenate(labels_parts)
-    x0 = np.concatenate(x0_parts, axis=0)
-    return labels, int(sres.n_final), x0
+    x0 = np.concatenate(x0_parts, axis=0) if has_x0 else None
+    return FuseResult(
+        labels=labels,
+        n_final=int(sres.n_final),
+        x0=x0,
+        cents=meta_cents,
+        counts=meta_counts,
+    )
 
 
 def sharp_large(
@@ -225,16 +281,19 @@ def sharp_large(
             ]
 
     with timer.stage("smetac"):
-        raw_labels, n_final, x0 = fuse_folds(
+        fres = fuse_folds(
             fold_results, cfg, n_total=n, finalN_cluster=cfg.N_cluster
         )
+        raw_labels, n_final, x0 = fres.labels, fres.n_final, fres.x0
 
     with timer.stage("finalize"):
         # un-permute
         unperm_labels = np.empty(n, np.int32)
         unperm_labels[perm] = raw_labels
-        x0_u = np.empty_like(x0)
-        x0_u[perm] = x0
+        x0_u = None
+        if x0 is not None:
+            x0_u = np.empty_like(x0)
+            x0_u[perm] = x0
         viE = None
         if cfg.forview:
             viE = np.empty((n, cfg.reduced_ndim), np.float32)

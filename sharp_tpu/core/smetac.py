@@ -71,7 +71,10 @@ def smetac(
     mu = jnp.mean(centroids, axis=-1, keepdims=True)
     Xc = centroids - mu
     U = Xc * jax.lax.rsqrt(jnp.sum(Xc * Xc, axis=-1, keepdims=True) + 1e-12)
-    S = jnp.dot(U, U.T, preferred_element_type=jnp.float32)
+    S = jnp.dot(
+        U, U.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     nc_pad = centroids.shape[0]
     S = jnp.where(jnp.eye(nc_pad, dtype=bool), 1.0, S)
 
@@ -85,8 +88,12 @@ def smetac(
 
     # --- second-best-silhouette override (R/sMetaC.R:139-147) ------------
     two_clusters = res.k == 2
+    # rank only over VALID candidates (the reference sorts the msil vector
+    # of real candidates only, R/sMetaC.R:139-147); invalid cuts
+    # (k > n_clusters - 1) carry silhouettes of degenerate labelings and
+    # must never win the override
     msil_valid = jnp.where(
-        jnp.isfinite(res.msil), res.msil, -jnp.inf
+        res.valid & jnp.isfinite(res.msil), res.msil, -jnp.inf
     )
     # R's sort(partial)[n-1] counts duplicates: the second-largest value
     # including ties, then the first index holding it.

@@ -102,7 +102,12 @@ def wmetac(
 
     # --- 5: w1-weighted Jaccard similarity ------------------------------
     Mw = M * w1[None, :]
-    inter = jnp.dot(Mw, M.T, preferred_element_type=jnp.float32)
+    # exact: w1-weighted membership values pass through a one-hot matmul;
+    # TPU default precision would round w1 to bf16
+    inter = jnp.dot(
+        Mw, M.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     wsum = jnp.sum(Mw, axis=1)
     union = wsum[:, None] + wsum[None, :] - inter
     S = jnp.where((inter > 0) & (union > 1e-12), inter / jnp.maximum(union, 1e-12), 0.0)

@@ -57,8 +57,17 @@ def pearson_distance(X: jax.Array, mask: jax.Array) -> jax.Array:
     `mask` (..., n) flags real cells. One matmul; everything else is VPU.
     """
     U = _unit_rows(X)
-    corr = jnp.matmul(U, jnp.swapaxes(U, -1, -2), preferred_element_type=jnp.float32)
-    D = 1.0 - corr
+    # HIGHEST precision: TPU's default reduced-precision matmul rounds the
+    # unit rows to bf16, which can push 1 - corr slightly NEGATIVE for
+    # near-identical cells. Negative distances violate the Ward
+    # monotonicity the merge-replay height sort depends on (verified
+    # on-device: default precision => replay violations, garbage clusters).
+    corr = jnp.matmul(
+        U, jnp.swapaxes(U, -1, -2),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    D = jnp.maximum(1.0 - corr, 0.0)
     m = mask.astype(bool)
     mi = m[..., :, None]
     mj = m[..., None, :]

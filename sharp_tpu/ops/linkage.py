@@ -84,17 +84,29 @@ def resolve_linkage_backend(
     """Resolve the "auto" backend for a problem of padded size n_pad.
 
     On TPU: the serial single-kernel Pallas loop in exact f32 while the
-    matrix fits VMEM; above that, reciprocal-NN rounds with bf16 storage
-    (`ward_linkage_rnn`) — ~2x the serial kernel at n=2048 with the same
-    store-rounding discipline. The XLA loops elsewhere (CPU tests,
-    non-ward methods — the fast backends implement ward.D only).
+    matrix fits VMEM; above that, reciprocal-NN rounds (`ward_linkage_rnn`)
+    in f32 — measured on-device at n=2048/K=5 the bf16-store variant is no
+    faster, and f32 storage keeps the merges exactly equal to the serial
+    reference loop (bf16 rounding flips near-tie merge orders). The XLA
+    loops elsewhere (CPU tests, non-ward methods — the fast backends
+    implement ward.D only).
+
+    Only "auto" is downgraded for non-ward hmethods; an explicitly
+    requested fast backend combined with a non-ward hmethod is an error
+    (the fast kernels implement ward.D only — silently swapping in the
+    much slower XLA loop would hide the mismatch).
     """
-    if hmethod != "ward.D":
-        return "xla"
     if backend == "auto":
+        if hmethod != "ward.D":
+            return "xla"
         if jax.default_backend() == "tpu":
-            return "pallas" if n_pad <= 1024 else "rnn_bf16"
+            return "pallas" if n_pad <= 1024 else "rnn"
         return "xla"
+    if hmethod != "ward.D" and backend != "xla":
+        raise ValueError(
+            f"linkage backend {backend!r} implements ward.D only; "
+            f"hmethod {hmethod!r} requires backend='xla' (or 'auto')"
+        )
     return backend
 
 
@@ -599,9 +611,22 @@ def ward_linkage_rnn(
     bfloat16 halves the round-dominating HBM traffic while the LW
     arithmetic stays f32 — the same store-rounded discipline as the
     serial Pallas kernel's bf16 mode.
+
+    Exactness discipline (round-1 postmortem): every matmul here carries
+    either exact integers (merge indices, sizes, one-hot selectors) or
+    stored distances whose bit pattern later argmins/compares depend on.
+    TPU's default matmul precision silently rounds f32 operands to bf16 —
+    at n = 2048 that corrupted merge indices (2047 -> 2048), duplicated
+    pairs and broke replay. All dots therefore run at Precision.HIGHEST
+    (exact for f32; a no-op cost-wise for bf16 operands). Recorded
+    heights are additionally clamped to be >= the merging clusters'
+    previous record (`lasth`), so the stable height sort that recovers
+    the serial merge order stays topological even when bf16 storage
+    rounds a parent height just below its child's.
     """
     n = D.shape[-1]
     dt = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
     st = jnp.dtype(store_dtype) if store_dtype is not None else D.dtype
     D = _prep_matrix(D).astype(st)
     C = min(compact_n, n)
@@ -615,7 +640,7 @@ def ward_linkage_rnn(
         arP = jnp.arange(P)
 
         def body(c):
-            D, alive, sizes, gidx, merges, heights, rounds, cnt = c
+            D, alive, sizes, gidx, lasth, merges, heights, rounds, cnt = c
             af = alive
             rowmin = jnp.min(D, axis=1).astype(dt)
             nn = jnp.argmin(D, axis=1).astype(jnp.int32)
@@ -631,8 +656,8 @@ def ward_linkage_rnn(
 
             OHa = (ar[None, :] == a[:, None]).astype(st) * svf[:, None]
             OHb = (ar[None, :] == b[:, None]).astype(st) * svf[:, None]
-            Da = jnp.dot(OHa, D, preferred_element_type=dt)
-            Db = jnp.dot(OHb, D, preferred_element_type=dt)
+            Da = jnp.dot(OHa, D, preferred_element_type=dt, precision=hi)
+            Db = jnp.dot(OHb, D, preferred_element_type=dt, precision=hi)
             na = sizes[a] * sv.astype(dt)
             nb = sizes[b] * sv.astype(dt)
             h = jnp.where(sv, rowmin[a], BIG)
@@ -650,10 +675,12 @@ def ward_linkage_rnn(
             newrows_st = newrows.astype(st)
             newrows_rt = newrows_st.astype(dt)
             Ra = jnp.dot(
-                newrows_rt, OHa.T.astype(dt), preferred_element_type=dt
+                newrows_rt, OHa.T.astype(dt), preferred_element_type=dt,
+                precision=hi,
             )
             Rb = jnp.dot(
-                newrows_rt, OHb.T.astype(dt), preferred_element_type=dt
+                newrows_rt, OHb.T.astype(dt), preferred_element_type=dt,
+                precision=hi,
             )
             ne = na + nb
             # clamp: empty slots have zero sizes; a 0/0 NaN here would
@@ -671,7 +698,7 @@ def ward_linkage_rnn(
 
             cola = jnp.sum(OHa, axis=0) > 0.5
             pairfix = jnp.dot(
-                V.astype(st), OHa, preferred_element_type=dt
+                V.astype(st), OHa, preferred_element_type=dt, precision=hi
             )
             newrows_st = jnp.where(
                 cola[None, :], pairfix.astype(st), newrows_st
@@ -683,12 +710,13 @@ def ward_linkage_rnn(
             )
 
             rowsfull = jnp.dot(
-                OHa.T, newrows_st, preferred_element_type=st
+                OHa.T, newrows_st, preferred_element_type=st, precision=hi
             )
             colsfull = jax.lax.dot_general(
                 newrows_st, OHa,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=st,
+                precision=hi,
             )
             D = jnp.where(cola[:, None], rowsfull, D)
             D = jnp.where(cola[None, :] & ~cola[:, None], colsfull, D)
@@ -696,35 +724,46 @@ def ward_linkage_rnn(
 
             alive = af & ~dying
             sizes = sizes + jnp.dot(
-                OHa.T.astype(dt), nb, preferred_element_type=dt
+                OHa.T.astype(dt), nb, preferred_element_type=dt,
+                precision=hi,
             )
+
+            # recorded height: clamp to >= the merging clusters' previous
+            # recorded heights so the post-hoc stable height sort is
+            # topological even under store rounding (exact LW already
+            # guarantees h_parent >= h_child; rounding can break it)
+            hrec = jnp.maximum(h, jnp.maximum(lasth[a], lasth[b]))
+            hrec = jnp.where(sv, hrec, BIG)
+            lasth_upd = jnp.sum(
+                jnp.where(OHa > jnp.asarray(0.5, st),
+                          jnp.where(sv, hrec, 0.0)[:, None], 0.0),
+                axis=0,
+            )
+            lasth = jnp.where(cola, lasth_upd, lasth)
 
             # append records at offset cnt via a one-hot matmul write —
             # a dynamic_update_slice here would lower to a serialized
             # scatter-while under the vmapped (batched-offset) call
             ga = gidx[a]
             gb = gidx[b]
+            # append via an exact integer select-sum (int32 arithmetic
+            # end-to-end; the old f32 one-hot matmul corrupted indices
+            # > 256 under TPU default matmul precision)
             ents = jnp.stack(
                 [jnp.where(sv, ga, 0), jnp.where(sv, gb, 0)], axis=1
-            ).astype(dt)                                  # (P, 2), exact
+            )                                             # (P, 2) int32
             pos = jnp.arange(mbuf)
             M = ((pos[:, None] - cnt) == jnp.arange(P)[None, :]) & sv[None, :]
-            Mf = M.astype(dt)
             row_hit = jnp.any(M, axis=1)
-            merges = jnp.where(
-                row_hit[:, None],
-                jnp.dot(Mf, ents, preferred_element_type=dt).astype(
-                    jnp.int32
-                ),
-                merges,
+            new_ents = jnp.sum(
+                jnp.where(M[:, :, None], ents[None, :, :], 0), axis=1
+            )                                             # (mbuf, 2) int32
+            merges = jnp.where(row_hit[:, None], new_ents, merges)
+            new_h = jnp.sum(
+                jnp.where(M, jnp.where(sv, hrec, 0.0)[None, :], 0.0), axis=1
             )
-            heights = jnp.where(
-                row_hit,
-                jnp.dot(Mf, jnp.where(sv, h, 0.0).astype(dt),
-                        preferred_element_type=dt),
-                heights,
-            )
-            return (D, alive, sizes, gidx, merges, heights,
+            heights = jnp.where(row_hit, new_h, heights)
+            return (D, alive, sizes, gidx, lasth, merges, heights,
                     rounds + 1, cnt + n_pairs)
 
         return body
@@ -736,6 +775,7 @@ def ward_linkage_rnn(
         jnp.ones((n,), bool),
         jnp.ones((n,), dt),
         jnp.arange(n, dtype=jnp.int32),
+        jnp.zeros((n,), dt),  # lasth: running recorded-height per cluster
         merges0,
         heights0,
         jnp.asarray(0, jnp.int32),
@@ -744,7 +784,7 @@ def ward_linkage_rnn(
 
     def compact_to(state, n_from, Cn):
         """Gather the <= Cn survivors into a (Cn, Cn) subproblem."""
-        D1, alive, sizes, gidx, merges, heights, rounds, cnt = state
+        D1, alive, sizes, gidx, lasth, merges, heights, rounds, cnt = state
         n_alive = jnp.sum(alive.astype(jnp.int32))
         surv = jnp.nonzero(alive, size=Cn, fill_value=0)[0].astype(jnp.int32)
         svC = jnp.arange(Cn) < n_alive
@@ -753,8 +793,10 @@ def ward_linkage_rnn(
             * svC.astype(st)[:, None]
         )                                                    # (Cn, n_from)
         D2 = jnp.dot(
-            jnp.dot(OHs, D1, preferred_element_type=st), OHs.T,
+            jnp.dot(OHs, D1, preferred_element_type=st, precision=hi),
+            OHs.T,
             preferred_element_type=st,
+            precision=hi,
         )                                                    # (Cn, Cn)
         D2 = jnp.where(
             svC[:, None] & svC[None, :]
@@ -763,10 +805,11 @@ def ward_linkage_rnn(
         )
         sizes2 = jnp.where(
             svC, jnp.dot(OHs.astype(dt), sizes,
-                         preferred_element_type=dt), 1.0
+                         preferred_element_type=dt, precision=hi), 1.0
         )
         gidx2 = jnp.where(svC, gidx[surv], 0).astype(jnp.int32)
-        return (D2, svC, sizes2, gidx2, merges, heights,
+        lasth2 = jnp.where(svC, lasth[surv], 0.0)
+        return (D2, svC, sizes2, gidx2, lasth2, merges, heights,
                 jnp.asarray(0, jnp.int32), cnt)
 
     # ladder: at each size level, run rounds only until the survivors fit
@@ -780,7 +823,7 @@ def ward_linkage_rnn(
 
         def cond_lvl(c, nxt=nxt):
             n_alive = jnp.sum(c[1].astype(jnp.int32))
-            return (c[7] < n - 1) & (n_alive > nxt) & (c[6] < n)
+            return (c[8] < n - 1) & (n_alive > nxt) & (c[7] < n)
 
         state = jax.lax.while_loop(
             cond_lvl, make_body(lvl, min(pair_cap, lvl // 2)), state
@@ -789,13 +832,61 @@ def ward_linkage_rnn(
         lvl = nxt
 
     def cond2(c):
-        return (c[7] < n - 1) & (c[6] < n)
+        return (c[8] < n - 1) & (c[7] < n)
 
     state = jax.lax.while_loop(cond2, make_body(lvl, P2), state)
 
-    merges, heights = state[4][: n - 1], state[5][: n - 1]
+    merges, heights = state[5][: n - 1], state[6][: n - 1]
     order = jnp.argsort(heights, stable=True)
     return LinkageResult(merges=merges[order], heights=heights[order])
+
+
+def validate_merge_sequence(merges, heights, n_real: int, n_pad: int):
+    """Host-side structural validation of a merge sequence.
+
+    Returns a list of human-readable problem strings (empty = valid):
+    index range, self-merges, duplicated pairs, replay viability (every
+    merged-away j must be a live representative), and height monotonicity
+    over the real merges. The round-1 TPU matmul-precision regression
+    (VERDICT.md) violated all of these; bench.py refuses to publish
+    numbers when this fails on hardware.
+    """
+    import numpy as np
+
+    errs = []
+    m = np.asarray(merges)[: n_pad - 1]
+    h = np.asarray(heights)[: n_pad - 1]
+    if (m < 0).any() or (m >= n_pad).any():
+        errs.append(
+            f"indices out of range [0,{n_pad}): min={m.min()} max={m.max()}"
+        )
+        return errs
+    n_self = int((m[:, 0] == m[:, 1]).sum())
+    if n_self:
+        errs.append(f"{n_self} self-merges")
+    seen = set()
+    dups = 0
+    for a, b in m:
+        if (a, b) in seen:
+            dups += 1
+        seen.add((a, b))
+    if dups:
+        errs.append(f"{dups} duplicated pairs")
+    lab = np.arange(n_pad)
+    viol = 0
+    for a, b in m:
+        if not (lab == b).any():
+            viol += 1
+        lab[lab == b] = a
+    if viol:
+        errs.append(f"{viol} replay violations (merged-away index reused)")
+    hr = h[: n_real - 1]
+    drops = int(
+        (np.diff(hr) < -1e-5 * np.maximum(np.abs(hr[:-1]), 1e-9)).sum()
+    )
+    if drops:
+        errs.append(f"{drops} height-order drops in real merges")
+    return errs
 
 
 class CutForest(NamedTuple):

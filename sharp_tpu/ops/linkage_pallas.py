@@ -256,10 +256,14 @@ def _kernel_deferred(F: int):
             vk = ilane_of(ver, idx)
             onehot_k = (lane == idx).astype(jnp.float32)        # (1, n)
             # slot values at lane idx: (1, n) x (F, n)^T -> (1, F)
+            # HIGHEST precision: these one-hot contractions must pass f32
+            # correction values through bit-exactly — the lazy-cache
+            # invariant compares them against stored matrix entries
             vals = jax.lax.dot_general(
                 onehot_k, Rbuf[:, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             q = (sstep[:, :] > vk).astype(jnp.float32)           # (1, F)
             both = jnp.concatenate([vals * q, q], axis=0)        # (2, F)
@@ -267,6 +271,7 @@ def _kernel_deferred(F: int):
                 both, OH[:, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                                    # (2, n)
             row = jnp.where(cm[1:2, :] > 0.5, cm[0:1, :], raw)
             return jnp.where(
@@ -351,6 +356,7 @@ def _kernel_deferred(F: int):
                     Rbuf[:, :], OH[:, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )                                          # (n, n)
                 dirty = jnp.sum(OH[:, :], axis=0, keepdims=True) > 0.5
                 verL = ver[:, :]                           # (1, n) -> cols

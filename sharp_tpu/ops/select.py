@@ -70,6 +70,7 @@ class OptHclust(NamedTuple):
     oind: jax.Array      # () int32 chosen candidate index
     heights: jax.Array   # (n_pad - 1,) f32 merge heights
     all_labels: jax.Array  # (ncand, n_pad) labels of every candidate cut
+    valid: jax.Array     # (ncand,) bool — candidate is testable (k <= n_real-1 etc.)
 
 
 def _middle_tied_argmax(x: jax.Array, valid: jax.Array) -> jax.Array:
@@ -134,9 +135,11 @@ def opt_hclust(
 
     `precomputed_link` lets callers supply the merge sequence from a
     batched linkage backend (e.g. the Pallas kernel) instead of the
-    per-call XLA loop. `linkage_backend` ("xla" | "pallas" | "pallas_bf16",
-    resolve "auto" via `resolve_linkage_backend` first) selects the
-    single-kernel Pallas path for both the linkage and the cut replay.
+    per-call XLA loop. `linkage_backend` is one of "xla" | "pallas" |
+    "pallas_bf16" | "rnn" | "rnn_bf16" (or "auto", resolved via
+    `resolve_linkage_backend`): the pallas values select the single-kernel
+    serial Pallas path, the rnn values the reciprocal-NN-rounds kernel —
+    the TPU production backend for n_pad > 1024.
     """
     from sharp_tpu.ops.linkage import resolve_linkage_backend
 
@@ -231,6 +234,7 @@ def opt_hclust(
         oind=oind,
         heights=link.heights,
         all_labels=cuts.labels,
+        valid=valid,
     )
 
 

@@ -23,6 +23,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Exact matmuls throughout: counts are integers and distance sums feed
+# argmax selection decisions; TPU default matmul precision rounds f32
+# operands to bf16 (round-1 postmortem).
+_HI = jax.lax.Precision.HIGHEST
+
 _INF = jnp.float32(jnp.inf)
 
 
@@ -53,7 +58,7 @@ def silhouette_median(
     """
     oh = _onehot(labels, real_mask, nc_pad)          # (n, nc_pad)
     counts = jnp.sum(oh, axis=0)                      # (nc_pad,)
-    sums = jnp.dot(D_real, oh, preferred_element_type=jnp.float32)  # (n, nc_pad)
+    sums = jnp.dot(D_real, oh, preferred_element_type=jnp.float32, precision=_HI)  # (n, nc_pad)
 
     # own-cluster selections as one-hot contractions — row gathers lower to
     # element-at-a-time loops on TPU and dominate the sweep otherwise
@@ -89,7 +94,7 @@ def ch_index(
     rm = real_mask.astype(jnp.float32)
     oh = _onehot(labels, real_mask, nc_pad)           # (n, nc_pad)
     counts = jnp.sum(oh, axis=0)
-    cent = jnp.dot(oh.T, feats_unit, preferred_element_type=jnp.float32)
+    cent = jnp.dot(oh.T, feats_unit, preferred_element_type=jnp.float32, precision=_HI)
     cent = cent / jnp.maximum(counts[:, None], 1.0)   # (nc_pad, p)
 
     def unit(v):
@@ -101,7 +106,7 @@ def ch_index(
     # within: sum over cells of (1 - corr(x_i, centroid_own)); the row
     # gather cent_u[labels] becomes a (n, p) x (p, nc) matmul + one-hot
     # select (TPU row gathers are element-at-a-time)
-    fc = jnp.dot(feats_unit, cent_u.T, preferred_element_type=jnp.float32)
+    fc = jnp.dot(feats_unit, cent_u.T, preferred_element_type=jnp.float32, precision=_HI)
     corr_own = jnp.sum(oh * fc, axis=-1)
     W = jnp.sum(jnp.where(real_mask, 1.0 - corr_own, 0.0))
     # between: sum over clusters of n_c * (1 - corr(centroid_c, global mean))
@@ -162,9 +167,9 @@ def sweep_scores_nested(
     own_fine = labels_all[c_fine]                  # (n,) in [0, nc_pad)
     oh_fine = jax.nn.one_hot(own_fine, V, dtype=jnp.float32) * rm[:, None]
     counts0 = jnp.sum(oh_fine, axis=0)             # (V,)
-    sums0 = jnp.dot(D_real, oh_fine, preferred_element_type=jnp.float32)
+    sums0 = jnp.dot(D_real, oh_fine, preferred_element_type=jnp.float32, precision=_HI)
     centsum0 = jnp.dot(
-        oh_fine.T, feats_unit, preferred_element_type=jnp.float32
+        oh_fine.T, feats_unit, preferred_element_type=jnp.float32, precision=_HI
     )                                              # (V, p)
     alive0 = counts0 > 0.5
 
@@ -183,9 +188,9 @@ def sweep_scores_nested(
         ohi = (colv == coli).astype(jnp.float32)
         ohj = (colv == colj).astype(jnp.float32)
         sel = ohi + ohj                            # (V,)
-        new_sum = jnp.dot(sums, sel, preferred_element_type=jnp.float32)
-        new_count = jnp.dot(counts, sel, preferred_element_type=jnp.float32)
-        new_cent = jnp.dot(sel, centsum, preferred_element_type=jnp.float32)
+        new_sum = jnp.dot(sums, sel, preferred_element_type=jnp.float32, precision=_HI)
+        new_count = jnp.dot(counts, sel, preferred_element_type=jnp.float32, precision=_HI)
+        new_cent = jnp.dot(sel, centsum, preferred_element_type=jnp.float32, precision=_HI)
         at_new = colv == newslot
         sums = jnp.where(
             apply & at_new[None, :], new_sum[:, None], sums
@@ -221,7 +226,7 @@ def sweep_scores_nested(
         )
 
     cent_u = unit(centsum / jnp.maximum(counts[:, None], 1.0))  # (V, p)
-    FC = jnp.dot(feats_unit, cent_u.T, preferred_element_type=jnp.float32)
+    FC = jnp.dot(feats_unit, cent_u.T, preferred_element_type=jnp.float32, precision=_HI)
     g = jnp.sum(feats_unit * rm[:, None], axis=0) / jnp.maximum(n_real, 1)
     g_u = unit(g[None, :])[0]
     corr_cg = jnp.sum(cent_u * g_u[None, :], axis=-1)           # (V,)

@@ -77,7 +77,8 @@ def pad_block_summary(
     if C > budget:
         raise ValueError(
             f"block produced {C} clusters > summary budget {budget}; "
-            "raise meta_nc_budget"
+            "the budget is derived from maxN_cluster (after the "
+            "smetac_range widening) — raise maxN_cluster to cover it"
         )
     cp = np.zeros((budget, p), np.float32)
     cp[:C] = cents

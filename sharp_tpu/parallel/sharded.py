@@ -80,7 +80,7 @@ def process_folds_grouped(
         out = jax.block_until_ready(out)
         for gi, sz in enumerate(gsizes):
             s = jax.tree.map(lambda a: a[gi], out)
-            results.append(summary_to_host(s, int(sz)))
+            results.append(summary_to_host(s, int(sz), forview=cfg.forview))
     return results
 
 
@@ -128,6 +128,6 @@ def process_folds_sharded(
     results = []
     for t in range(T):
         s = jax.tree.map(lambda a: a[t], out)
-        results.append(summary_to_host(s, int(n_reals[t])))
+        results.append(summary_to_host(s, int(n_reals[t]), forview=cfg.forview))
     log(f"sharded fold pass: {T} folds over {ndata} data shards")
     return results

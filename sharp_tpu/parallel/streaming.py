@@ -63,15 +63,72 @@ def _process_block(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool):
         )
     else:
         frs = [process_fold(Xb, sizes[0], block_pad, R_all, cfg, logf)]
-    labels, n_final, _ = fuse_folds(frs, cfg, n_total=nb)
-    # block-cluster centroids in the shared mean-RP feature space
-    mean_proj = np.concatenate([fr["mean_proj"] for fr in frs], axis=0)
-    uniq = np.unique(labels)
-    cents = np.stack([mean_proj[labels == c].mean(axis=0) for c in uniq])
-    counts = np.asarray([(labels == c).sum() for c in uniq])
+    fres = fuse_folds(frs, cfg, n_total=nb)
+    # block-cluster centroids come straight from the fuse's per-meta
+    # centroid sums in the shared mean-RP feature space — no per-cell pass
+    uniq = np.unique(fres.labels)
+    cents = fres.cents[uniq]
+    counts = fres.counts[uniq]
     # re-encode labels as positions into `uniq`
-    pos = np.searchsorted(uniq, labels)
+    pos = np.searchsorted(uniq, fres.labels)
     return pos.astype(np.int32), cents.astype(np.float32), counts
+
+
+def global_block_fuse(summaries, cfg: SharpConfig):
+    """Global sMetaC over block summaries + size-ordered relabelling.
+
+    summaries: list of (centroids (C_b, p) f32, counts (C_b,)) per block,
+    in global block order. Mirrors the global fuse + decreasing-size
+    relabel of the reference (R/SHARP_unlimited.R:162-183). Deterministic
+    given identical summaries, so every host computes the same result.
+
+    Returns (tf, remap, offsets, order, meta_sizes):
+      tf        — meta label per global block-cluster id
+      remap     — size-ordered final id (1-based) per meta label
+      offsets   — per-block starting global cluster id
+      order     — meta labels in decreasing size order
+      meta_sizes— cell count per meta label
+    """
+    all_cents = np.concatenate([c for c, _ in summaries], axis=0)
+    all_counts = np.concatenate([n for _, n in summaries])
+    NC = all_cents.shape[0]
+    NC_pad = pad_dim(max(NC, 8))
+    cents_p = np.zeros((NC_pad, all_cents.shape[1]), np.float32)
+    cents_p[:NC] = all_cents
+    valid = np.zeros(NC_pad, bool)
+    valid[:NC] = True
+
+    minN, maxN = smetac_range(
+        cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, NC
+    )
+    maxN = min(maxN, NC - 1) if NC > 1 else 1
+    ncand = max(maxN - minN + 1, 1)
+    meta_nc_pad = ((min(maxN, NC) + 9) // 8) * 8
+    sres = smetac(
+        jax.numpy.asarray(cents_p), jax.numpy.asarray(valid),
+        jax.numpy.asarray(NC), jax.numpy.asarray(maxN),
+        minN=minN, ncand=ncand, meta_nc_pad=meta_nc_pad,
+        sil_thre=cfg.sil_thre, height_Ntimes=cfg.height_Ntimes,
+        finalN_cluster=(
+            jax.numpy.asarray(cfg.N_cluster)
+            if cfg.N_cluster is not None
+            else None
+        ),
+        linkage_backend=cfg.linkage_backend,
+    )
+    tf = np.asarray(sres.tf)
+
+    # global meta-cluster sizes from the summary counts, then relabel by
+    # decreasing size (R/SHARP_unlimited.R:179-183)
+    block_ncl = [len(n) for _, n in summaries]
+    offsets = np.concatenate([[0], np.cumsum(block_ncl)])
+    meta_sizes = np.zeros(int(tf.max()) + 1 if len(tf) else 1)
+    np.add.at(meta_sizes, tf[: int(offsets[-1])], all_counts)
+    present = np.nonzero(meta_sizes > 0)[0]
+    order = present[np.argsort(-meta_sizes[present], kind="stable")]
+    remap = np.zeros(len(meta_sizes), np.int32)
+    remap[order] = np.arange(1, len(order) + 1)
+    return tf, remap, offsets, order, meta_sizes
 
 
 def sharp_unlimited(
@@ -216,7 +273,15 @@ def sharp_unlimited(
                 pad_block_summary,
             )
 
-            bud = ((min(cfg.maxN_cluster, 40) + 9) // 8) * 8
+            # budget must cover the LARGEST cluster count any block can
+            # produce: the per-block sMetaC search range is widened by
+            # smetac_range at >= 1e6 total cells (maxN -> n/5000,
+            # R/sMetaC.R:103-119), so sizing from min(maxN_cluster, 40)
+            # would crash the flagship-scale run mid-stream
+            _, eff_maxN = smetac_range(
+                cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, 1 << 30
+            )
+            bud = ((eff_maxN + 9) // 8) * 8
             max_local = (n_blocks + pcount - 1) // pcount
             payload = np.zeros((max_local, bud, p + 1), np.float32)
             for bi, (_, cents, counts) in enumerate(block_results):
@@ -236,47 +301,11 @@ def sharp_unlimited(
 
     # --- global sMetaC over block-cluster centroids ----------------------
     with timer.stage("global_smetac"):
-        all_cents = np.concatenate([c for c, _ in summaries], axis=0)
-        all_counts = np.concatenate([n for _, n in summaries])
-        NC = all_cents.shape[0]
-        NC_pad = pad_dim(max(NC, 8))
-        cents_p = np.zeros((NC_pad, all_cents.shape[1]), np.float32)
-        cents_p[:NC] = all_cents
-        valid = np.zeros(NC_pad, bool)
-        valid[:NC] = True
-
-        minN, maxN = smetac_range(
-            cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, NC
+        tf, remap, offsets, order, meta_sizes = global_block_fuse(
+            summaries, cfg
         )
-        maxN = min(maxN, NC - 1) if NC > 1 else 1
-        ncand = max(maxN - minN + 1, 1)
-        meta_nc_pad = ((min(maxN, NC) + 9) // 8) * 8
-        sres = smetac(
-            jax.numpy.asarray(cents_p), jax.numpy.asarray(valid),
-            jax.numpy.asarray(NC), jax.numpy.asarray(maxN),
-            minN=minN, ncand=ncand, meta_nc_pad=meta_nc_pad,
-            sil_thre=cfg.sil_thre, height_Ntimes=cfg.height_Ntimes,
-            finalN_cluster=(
-                jax.numpy.asarray(cfg.N_cluster)
-                if cfg.N_cluster is not None
-                else None
-            ),
-        )
-        tf = np.asarray(sres.tf)
 
     with timer.stage("finalize"):
-        # global meta-cluster sizes from the summary counts (identical on
-        # every host), then relabel by decreasing size
-        # (R/SHARP_unlimited.R:179-183)
-        block_ncl = [len(n) for _, n in summaries]
-        offsets = np.concatenate([[0], np.cumsum(block_ncl)])
-        meta_sizes = np.zeros(int(tf.max()) + 1 if len(tf) else 1)
-        np.add.at(meta_sizes, tf[: int(offsets[-1])], all_counts)
-        present = np.nonzero(meta_sizes > 0)[0]
-        order = present[np.argsort(-meta_sizes[present], kind="stable")]
-        remap = np.zeros(len(meta_sizes), np.int32)
-        remap[order] = np.arange(1, len(order) + 1)
-
         # map this host's cells through their blocks' global offsets
         parts = []
         for bi, (labels, _, _) in zip(my_blocks, block_results):

@@ -355,3 +355,71 @@ class TestRNNLinkage:
         assert adjusted_rand_score(
             idx, np.asarray(c2.labels)[0]
         ) == pytest.approx(1.0)
+
+class TestProductionShape:
+    """The backend/shape actually selected on TPU hardware
+    (resolve_linkage_backend: rnn at n_pad = 2048 for ~2000-cell folds) —
+    exercised on CPU so backend drift is caught without hardware
+    (round-1 postmortem: the one backend test ran at n_pad = 256 while
+    production ran rnn_bf16 at 2048)."""
+
+    @pytest.fixture(scope="class")
+    def problem(self):
+        from sharp_tpu.ops.linkage import ward_linkage_deferred
+
+        rng = np.random.default_rng(5)
+        n_real, npad = 2000, 2048
+        types = rng.integers(0, 12, n_real)
+        cents = rng.normal(size=(12, 128)) * 3.0
+        Xp = np.zeros((npad, 128), np.float32)
+        Xp[:n_real] = cents[types] + rng.normal(size=(n_real, 128))
+        mask = np.arange(npad) < n_real
+        D = pearson_distance(jnp.asarray(Xp), jnp.asarray(mask))
+        ref = jax.block_until_ready(ward_linkage_deferred(D))
+        return D, ref, types, n_real, npad
+
+    @staticmethod
+    def _cuts(merges, n_real, npad, ks):
+        lab = np.arange(npad)
+        m = np.asarray(merges)
+        out = {}
+        for t in range(npad - 1):
+            lab[lab == m[t, 1]] = m[t, 0]
+            if n_real - t - 1 in ks:
+                out[n_real - t - 1] = lab[:n_real].copy()
+        return out
+
+    def test_rnn_f32_matches_xla_at_2048(self, problem):
+        from sharp_tpu.ops.linkage import (
+            validate_merge_sequence,
+            ward_linkage_rnn,
+        )
+
+        D, ref, types, n_real, npad = problem
+        res = jax.block_until_ready(ward_linkage_rnn(D))
+        assert validate_merge_sequence(
+            res.merges, res.heights, n_real, npad
+        ) == []
+        ref_cuts = self._cuts(ref.merges, n_real, npad, {2, 5, 12, 20})
+        cuts = self._cuts(res.merges, n_real, npad, {2, 5, 12, 20})
+        for k in (2, 5, 12, 20):
+            assert adjusted_rand_score(ref_cuts[k], cuts[k]) == 1.0, k
+
+    def test_rnn_bf16_valid_and_accurate_at_2048(self, problem):
+        """bf16 storage rounds near-tie merge orders (exact equality is
+        not expected); the sequence must stay structurally valid and the
+        planted-structure cut must be exact."""
+        from sharp_tpu.ops.linkage import (
+            validate_merge_sequence,
+            ward_linkage_rnn,
+        )
+
+        D, ref, types, n_real, npad = problem
+        res = jax.block_until_ready(
+            ward_linkage_rnn(D, store_dtype=jnp.bfloat16)
+        )
+        assert validate_merge_sequence(
+            res.merges, res.heights, n_real, npad
+        ) == []
+        cuts = self._cuts(res.merges, n_real, npad, {12})
+        assert adjusted_rand_score(types, cuts[12]) >= 0.999
