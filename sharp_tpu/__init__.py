@@ -30,6 +30,9 @@ _LAZY = {
     "run_mtimes": ("sharp_tpu.api", "run_mtimes"),
     "ari": ("sharp_tpu.analysis.ari", "ari"),
     "get_marker_genes": ("sharp_tpu.analysis.markers", "get_marker_genes"),
+    "get_marker_genes_unlimited2": (
+        "sharp_tpu.analysis.markers", "get_marker_genes_unlimited2"
+    ),
     "get_percluster_exp": ("sharp_tpu.analysis.percluster", "get_percluster_exp"),
     "visualization_embedding": ("sharp_tpu.analysis.embed", "visualization_embedding"),
     "get_opt_hclust": ("sharp_tpu.ops.select", "get_opt_hclust"),
@@ -53,6 +56,7 @@ __all__ = [
     "run_mtimes",
     "ari",
     "get_marker_genes",
+    "get_marker_genes_unlimited2",
     "get_percluster_exp",
     "visualization_embedding",
     "get_opt_hclust",

@@ -49,9 +49,16 @@ def _avg_ranks(x: jax.Array) -> jax.Array:
     return 0.5 * (lo + hi + 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("C",))
-def _gene_chunk_stats(Xg: jax.Array, oh: jax.Array, counts: jax.Array, *, C: int):
+@functools.partial(jax.jit, static_argnames=("C", "ng"))
+def _gene_chunk_stats(
+    Xg: jax.Array, oh: jax.Array, counts: jax.Array, *, C: int, ng: int = 1
+):
     """Per-gene stats for a (n, G) chunk against (n, C) one-hot labels.
+
+    `ng` = number of candidate clusters considered per gene: the top-ng
+    by mean rank, keeping the one with the best AUROC
+    (R/get_marker_genes.R:135-144; the gene-partitioned variant uses
+    ng = min(10, C), R/get_marker_genes_unlimited2.R:184,229).
 
     Returns dp, best cluster, auc, z (signed Wilcoxon z), fc  — all (G,).
     """
@@ -62,7 +69,22 @@ def _gene_chunk_stats(Xg: jax.Array, oh: jax.Array, counts: jax.Array, *, C: int
     ranks = jax.vmap(_avg_ranks, in_axes=1, out_axes=1)(Xg)     # (n, G)
     rank_sums = jnp.dot(oh.T, ranks, preferred_element_type=jnp.float32)  # (C, G)
     mean_ranks = rank_sums / jnp.maximum(counts[:, None], 1.0)
-    best = jnp.argmax(mean_ranks, axis=0)                        # (G,)
+
+    # AUROC closed form for EVERY cluster (one elementwise pass over the
+    # (C, G) rank sums — the reference's per-candidate ROCR calls are
+    # already amortized), then restrict to the top-ng mean-rank candidates
+    U_all = rank_sums - (counts * (counts + 1.0) / 2.0)[:, None]
+    auc_all = U_all / jnp.maximum((counts * (nf - counts))[:, None], 1.0)
+    if ng >= C:
+        cand = jnp.ones_like(auc_all, dtype=bool)
+    elif ng == 1:
+        cand = mean_ranks == jnp.max(mean_ranks, axis=0, keepdims=True)
+    else:
+        kth = jnp.sort(mean_ranks, axis=0)[C - ng]               # (G,)
+        cand = mean_ranks >= kth[None, :]
+    best = jnp.argmax(
+        jnp.where(cand, auc_all, -jnp.inf), axis=0
+    )                                                            # (G,)
 
     n1 = counts[best]                                            # (G,)
     n2 = nf - n1
@@ -172,6 +194,25 @@ def get_marker_genes(
     z = np.concatenate(z_l)
     fc = np.concatenate(fc_l)
 
+    gallinfo, mginfo, idx, adauc = _finish(
+        dp, best, auc, z, fc, uniq, C,
+        theta=theta, auc_thre=auc_thre, p_thre=p_thre, fc_thre=fc_thre,
+        gene_names=gene_names,
+    )
+    mat = np.ascontiguousarray(X[:, idx].T, np.float32)
+    return MarkerResult(
+        mginfo=mginfo, gallinfo=gallinfo, mat=mat, label=labels, adauc=adauc
+    )
+
+
+def _finish(
+    dp, best, auc, z, fc, uniq, C, *, theta, auc_thre, p_thre, fc_thre,
+    gene_names,
+):
+    """Shared marker postprocessing: Holm adjustment, adaptive AUC
+    threshold, filtering + per-cluster rescue, reference sort order.
+    Returns (gallinfo, mginfo, selected gene indices, adauc)."""
+    D = len(dp)
     from scipy.stats import norm
 
     pvals = 2.0 * norm.sf(np.abs(z))
@@ -219,9 +260,116 @@ def get_marker_genes(
         (dp[idx] * -1, pvals[idx], -auc[idx], -fc[idx], uniq[best[idx]])
     )
     idx = idx[order]
-
     mginfo = {k: v[idx] for k, v in gallinfo.items() if k != "tested"}
-    mat = np.ascontiguousarray(X[:, idx].T, np.float32)
+    return gallinfo, mginfo, idx, adauc
+
+
+def get_marker_genes_unlimited2(
+    gene_blocks,
+    y: Union[SharpResult, np.ndarray, Sequence[int]],
+    *,
+    gene_names: Optional[Sequence[str]] = None,
+    theta: float = 1e-5,
+    auc_thre: float = 0.85,
+    p_thre: float = 0.05,
+    fc_thre: float = 2.0,
+    ng: Optional[int] = None,
+    chunk: int = 2048,
+) -> MarkerResult:
+    """Marker genes from GENE-PARTITIONED input (~ get_marker_genes_unlimited2,
+    R/get_marker_genes_unlimited2.R:25).
+
+    `gene_blocks` is a directory of stored files, or a list of arrays /
+    file paths — each holding ALL cells x a slice of the genes (the
+    transpose of the cell-blocked layout: here genes are split across
+    files, cells are shared). Files are visited one at a time in numeric
+    filename order (R :159-162); only per-gene scalar stats are kept in
+    memory, so the full genes axis never has to fit at once.
+
+    Defaults follow the reference variant (R :36-46): stricter
+    sparsity/AUC/p thresholds (theta=1e-5, AUC=0.85, p=0.05) and
+    candidate clusters = the top min(10, C) mean ranks (R :184,229),
+    keeping the candidate with the best AUROC.
+    """
+    import os
+
+    labels = np.asarray(
+        y.pred_clusters if isinstance(y, SharpResult) else y
+    )
+    uniq = np.unique(labels)
+    C = len(uniq)
+    enc = np.searchsorted(uniq, labels)
+    oh = jnp.asarray(np.eye(C, dtype=np.float32)[enc])
+    counts = jnp.asarray(np.bincount(enc, minlength=C).astype(np.float32))
+    ng_eff = min(10, C) if ng is None else min(ng, C)
+
+    # resolve input form -> a loader per gene-block
+    if isinstance(gene_blocks, str):
+        from sharp_tpu.io.blocks import BlockStore
+
+        files = BlockStore(gene_blocks).files()
+        loaders = [lambda f=f: BlockStore.load(f) for f in files]
+    else:
+        loaders = []
+        for b in gene_blocks:
+            if isinstance(b, str):
+                from sharp_tpu.io.blocks import BlockStore
+
+                loaders.append(lambda f=b: BlockStore.load(f))
+            else:
+                loaders.append(lambda a=b: np.asarray(a, np.float32))
+
+    dp_l, best_l, auc_l, z_l, fc_l = [], [], [], [], []
+    block_cols = []
+    for load in loaders:
+        Xb = load()
+        if Xb.shape[0] != len(labels):
+            raise ValueError(
+                f"gene block has {Xb.shape[0]} cells, labels have "
+                f"{len(labels)} — gene-partitioned blocks must share the "
+                "cell axis"
+            )
+        block_cols.append(Xb.shape[1])
+        for start in range(0, Xb.shape[1], chunk):
+            Xg = jnp.asarray(
+                np.ascontiguousarray(Xb[:, start : start + chunk], np.float32)
+            )
+            dp, best, auc, z, fc = _gene_chunk_stats(
+                Xg, oh, counts, C=C, ng=ng_eff
+            )
+            dp_l.append(np.asarray(dp))
+            best_l.append(np.asarray(best))
+            auc_l.append(np.asarray(auc))
+            z_l.append(np.asarray(z))
+            fc_l.append(np.asarray(fc))
+        del Xb
+
+    dp = np.concatenate(dp_l)
+    best = np.concatenate(best_l)
+    auc = np.concatenate(auc_l)
+    z = np.concatenate(z_l)
+    fc = np.concatenate(fc_l)
+
+    gallinfo, mginfo, idx, adauc = _finish(
+        dp, best, auc, z, fc, uniq, C,
+        theta=theta, auc_thre=auc_thre, p_thre=p_thre, fc_thre=fc_thre,
+        gene_names=gene_names,
+    )
+
+    # marker expression rows: revisit only the files holding selected genes
+    offsets = np.concatenate([[0], np.cumsum(block_cols)])
+    mat = np.zeros((len(idx), len(labels)), np.float32)
+    pos_of = {int(g): i for i, g in enumerate(idx)}
+    for bi, load in enumerate(loaders):
+        lo, hi = offsets[bi], offsets[bi + 1]
+        local = [g for g in idx if lo <= g < hi]
+        if not local:
+            continue
+        Xb = load()
+        for g in local:
+            mat[pos_of[int(g)]] = Xb[:, int(g - lo)]
+        del Xb
+
     return MarkerResult(
         mginfo=mginfo, gallinfo=gallinfo, mat=mat, label=labels, adauc=adauc
     )

@@ -264,7 +264,14 @@ def sharp_large(
             for t, sz in enumerate(sizes):
                 X_folds[t, :sz] = X[perm[off : off + sz]]
                 off += sz
-            mesh = make_mesh(n_data=cfg.n_devices, n_ens=1)
+            n_ens = (
+                cfg.ensemble_axis
+                if cfg.ensemble_axis > 1
+                and cfg.ensize_K % cfg.ensemble_axis == 0
+                and cfg.n_devices % cfg.ensemble_axis == 0
+                else 1
+            )
+            mesh = make_mesh(n_data=cfg.n_devices // n_ens, n_ens=n_ens)
             fold_results = process_folds_sharded(
                 X_folds, np.asarray(sizes), R_all, cfg, logf, mesh
             )

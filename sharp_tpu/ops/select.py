@@ -58,7 +58,12 @@ def _general_linkage(D, hmethod: str):
     return linkage_reference(D, method=hmethod)
 from sharp_tpu.ops.silhouette import sweep_scores, sweep_scores_nested
 
-_NEG = jnp.float32(-jnp.inf)
+# numpy scalar, NOT jnp.float32(...): calling a jnp scalar type creates a
+# device array at import time, initializing the XLA backend and locking
+# out jax.distributed.initialize for multihost runs
+import numpy as _np
+
+_NEG = _np.float32(-_np.inf)
 
 
 class OptHclust(NamedTuple):
@@ -190,9 +195,37 @@ def opt_hclust(
     )
 
     valid = cuts.valid
-    # --- rule 1: middle-tied max median silhouette ---
-    sil_oind = _middle_tied_argmax(msil, valid)
+    # --- rule 1: middle-tied max median silhouette, with a height-gap
+    # tie-break for NEAR ties. The median saturates on inputs with
+    # near-duplicate points — sMetaC's centroid summaries carry T
+    # fold-replicas per true cluster, so merging two real clusters moves
+    # only ~T of NC points and the median shifts by ~1e-5: the argmax
+    # becomes a coin flip decided by float noise (observed on-device:
+    # msil(k=10..13) within 6e-5 while the dendrogram shows duplicate
+    # merges at h<=0.0023 and real merges at h>=1.67). Candidates within
+    # SIL_TIE_EPS of the max are re-ranked by the RATIO of the first
+    # refused merge height to the last accepted one — the cut with the
+    # cliff under it wins. This generalizes the reference's own
+    # height-gap fallback (R/get_opt_hclust.R:196-210) and deviates from
+    # its exact-tie middle rule (:162-168), which is kept when no near
+    # tie exists. (CH is unusable as the tie-break: with within-cluster
+    # dispersion ~0 it keeps growing past the true k.) ---
     maxsil = jnp.max(jnp.where(valid, msil, _NEG))
+    SIL_TIE_EPS = 1e-4
+    near = valid & (jnp.where(valid, msil, _NEG) >= maxsil - SIL_TIE_EPS)
+    n_near = jnp.sum(near.astype(jnp.int32))
+    ks_cand = minN + jnp.arange(ncand)
+    t_next = jnp.clip(n_real - ks_cand, 0, link.heights.shape[0] - 1)
+    t_last = jnp.clip(n_real - ks_cand - 1, 0, link.heights.shape[0] - 1)
+    h_next = jnp.take(link.heights, t_next)
+    h_last = jnp.where(
+        ks_cand >= n_real, 0.0, jnp.take(link.heights, t_last)
+    )
+    gap_ratio = (h_next + 1e-12) / (h_last + 1e-12)
+    gap_among_near = jnp.argmax(jnp.where(near, gap_ratio, _NEG))
+    sil_oind = jnp.where(
+        n_near > 1, gap_among_near, _middle_tied_argmax(msil, valid)
+    ).astype(jnp.int32)
 
     # --- rule 2: CH fallback ---
     ch_oind = jnp.argmax(jnp.where(valid, ch, _NEG))

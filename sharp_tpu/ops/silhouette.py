@@ -28,7 +28,12 @@ import jax.numpy as jnp
 # operands to bf16 (round-1 postmortem).
 _HI = jax.lax.Precision.HIGHEST
 
-_INF = jnp.float32(jnp.inf)
+# numpy scalar, NOT jnp.float32(...): calling a jnp scalar type creates a
+# device array at import time, initializing the XLA backend and locking
+# out jax.distributed.initialize for multihost runs
+import numpy as _np
+
+_INF = _np.float32(_np.inf)
 
 
 def masked_median(x: jax.Array, mask: jax.Array, n_valid: jax.Array) -> jax.Array:

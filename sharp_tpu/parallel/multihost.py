@@ -38,13 +38,23 @@ def distributed_init(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    if coordinator_address and jax.process_count() == 1:
+    # NOTE: jax.process_count() would itself initialize the XLA backend
+    # and lock out jax.distributed.initialize — probe the distributed
+    # state without touching the backend
+    if coordinator_address and not jax.distributed.is_initialized():
         num_processes = num_processes or int(
             os.environ.get("JAX_NUM_PROCESSES", "1")
         )
         process_id = process_id if process_id is not None else int(
             os.environ.get("JAX_PROCESS_ID", "0")
         )
+        try:
+            # CPU backends need an explicit collectives implementation
+            # for cross-process allgather; harmless for TPU (ICI/DCN
+            # collectives are native)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -84,6 +84,96 @@ def process_folds_grouped(
     return results
 
 
+def ens_sharded_fold_fn(static: dict, mesh: Mesh, K: int):
+    """Fold program with the K-member ensemble SHARDED over the mesh "ens"
+    axis (the reference's second parallel axis, `foreach(k) %:%
+    foreach(t)`, R/SHARP.R:554) — not just vmapped inside one chip.
+
+    Each ens shard projects and clusters its K/n_ens members against its
+    column slice of the stacked RP operand (member-major (genes, K*p)
+    layout makes the column shards contiguous member groups), then ONE
+    all_gather of the per-member label/score planes along "ens"
+    reassembles the (n_pad, K) ensemble in member order and wMetaC runs
+    replicated — identical on every shard, so its outputs are
+    ens-replicated by construction. Collectives carry O(n_pad * K) ints,
+    never the (n_pad, genes) block.
+
+    Returns a function (X_folds, masks, n_reals, R_all, logf) ->
+    FoldSummary batched over the leading fold axis, for use under
+    jax.jit with in/out shardings over `mesh`.
+    """
+    import jax.numpy as jnp
+
+    from jax.sharding import PartitionSpec as P
+
+    from sharp_tpu.core.block import cluster_block_ensemble
+    from sharp_tpu.core.wmetac import wmetac
+
+    n_ens = mesh.shape["ens"]
+    if K % n_ens:
+        raise ValueError(f"ensize_K={K} must divide over ens={n_ens}")
+    K_local = K // n_ens
+    blk_keys = ("minN", "ncand", "nc_pad", "sil_thre", "height_Ntimes",
+                "linkage_backend", "hmethod")
+    blk_st = {k: static[k] for k in blk_keys}
+    maxN = static["maxN"]
+    nc_pad = static["nc_pad"]
+
+    def local_program(X, mask, n_real, R_local, logf):
+        blk = cluster_block_ensemble(
+            X, mask, n_real, R_local, jnp.asarray(maxN), logf,
+            K=K_local, **blk_st,
+        )
+        # reassemble the full ensemble in member order: shard e holds
+        # members [e*K_local, (e+1)*K_local)
+        lab_g = jax.lax.all_gather(blk.labels, "ens")     # (n_ens, n, K_l)
+        labels = jnp.moveaxis(lab_g, 0, 1).reshape(X.shape[0], K)
+        k_per = jax.lax.all_gather(blk.k_per, "ens").reshape(K)
+        maxsil = jax.lax.all_gather(blk.maxsil, "ens").reshape(K)
+        mean_proj = jax.lax.pmean(blk.mean_proj, "ens")
+        wres = wmetac(
+            labels, mask, n_real, jnp.asarray(maxN),
+            K=K, nc_pad=nc_pad, allc_pad=static["allc_pad"],
+            meta_minN=static["minN"], meta_ncand=static["ncand"],
+            sil_thre=0.0, height_Ntimes=static["height_Ntimes"],
+            hmethod=static["hmethod"],
+            linkage_backend=static["linkage_backend"],
+        )
+        oh = jax.nn.one_hot(wres.finalC, nc_pad, dtype=jnp.float32)
+        oh = oh * mask[:, None].astype(jnp.float32)
+        cent_sum = jnp.dot(
+            oh.T, mean_proj, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return FoldSummary(
+            finalC=wres.finalC,
+            n_meta=wres.n_meta,
+            cent_sum=cent_sum,
+            counts=jnp.sum(oh, axis=0),
+            mean_proj=mean_proj,
+            x0=wres.x0,
+            k_per=k_per,
+            maxsil=maxsil,
+            overflow=wres.overflow,
+        )
+
+    def sharded_fn(X_folds, masks, n_reals, R_all, logf):
+        def per_shard(Xs, ms, ns, Rs, lf):
+            return jax.vmap(
+                lambda X, m, n: local_program(X, m, n, Rs, lf)
+            )(Xs, ms, ns)
+
+        return jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(None, "ens"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )(X_folds, masks, n_reals, R_all, logf)
+
+    return sharded_fn
+
+
 def process_folds_sharded(
     X_folds: np.ndarray,     # (T, B, genes)
     n_reals: np.ndarray,     # (T,)
@@ -108,14 +198,26 @@ def process_folds_sharded(
     )
 
     static = fold_static_args(cfg)
-    fn = _batched_fold_fn(static)
+    n_ens = mesh.shape.get("ens", 1)
     data_sh = NamedSharding(mesh, P("data"))
     repl_sh = NamedSharding(mesh, P())
-    jfn = jax.jit(
-        fn,
-        in_shardings=(data_sh, data_sh, data_sh, repl_sh, repl_sh),
-        out_shardings=data_sh,
-    )
+    if n_ens > 1 and cfg.ensize_K % n_ens == 0:
+        # ensemble members sharded over "ens" (R_all column-sharded),
+        # folds over "data"
+        fn = ens_sharded_fold_fn(static, mesh, cfg.ensize_K)
+        rp_sh = NamedSharding(mesh, P(None, "ens"))
+        jfn = jax.jit(
+            fn,
+            in_shardings=(data_sh, data_sh, data_sh, rp_sh, repl_sh),
+            out_shardings=data_sh,
+        )
+    else:
+        fn = _batched_fold_fn(static)
+        jfn = jax.jit(
+            fn,
+            in_shardings=(data_sh, data_sh, data_sh, repl_sh, repl_sh),
+            out_shardings=data_sh,
+        )
     out: FoldSummary = jfn(
         jnp.asarray(X_folds),
         jnp.asarray(masks),
@@ -129,5 +231,8 @@ def process_folds_sharded(
     for t in range(T):
         s = jax.tree.map(lambda a: a[t], out)
         results.append(summary_to_host(s, int(n_reals[t]), forview=cfg.forview))
-    log(f"sharded fold pass: {T} folds over {ndata} data shards")
+    log(
+        f"sharded fold pass: {T} folds over {ndata} data shards"
+        + (f" x {n_ens} ens shards" if n_ens > 1 else "")
+    )
     return results

@@ -186,6 +186,20 @@ def sharp_unlimited(
             n_cells += b.shape[0]
             n_genes = b.shape[1]
 
+    # multihost init must precede ANY jax computation (the distributed
+    # runtime can only attach before the backend initializes — even the
+    # PRNGKey below would lock it out), so the block assignment is
+    # resolved first
+    if multihost:
+        from sharp_tpu.parallel.multihost import block_slice, distributed_init
+
+        pidx, pcount = distributed_init()
+        my_blocks = block_slice(n_blocks, pidx, pcount)
+        log(f"multihost: process {pidx}/{pcount} handles blocks {my_blocks}")
+    else:
+        pidx, pcount = 0, 1
+        my_blocks = list(range(n_blocks))
+
     knobs.setdefault("forview", False)
     cfg = resolve_config(n_cells, n_genes, **knobs)
     # blocks are preprocessed upstream in the reference path
@@ -213,17 +227,6 @@ def sharp_unlimited(
             if manifest_dir
             else None
         )
-
-    # --- multihost block assignment ---------------------------------------
-    if multihost:
-        from sharp_tpu.parallel.multihost import block_slice, distributed_init
-
-        pidx, pcount = distributed_init()
-        my_blocks = block_slice(n_blocks, pidx, pcount)
-        log(f"multihost: process {pidx}/{pcount} handles blocks {my_blocks}")
-    else:
-        pidx, pcount = 0, 1
-        my_blocks = list(range(n_blocks))
 
     # --- per-block pass with prefetch + manifest resume ------------------
     block_results = []

@@ -20,20 +20,29 @@ def make_tpm_like(
     dropout=0.2,
     base_sigma=1.0,
     libsize=1e6,
+    labels=None,
 ):
     """Log-normal TPM-style matrix with per-type differentially-expressed
-    gene programs. Returns (X cells x genes f32, y labels)."""
+    gene programs. Returns (X cells x genes f32, y labels).
+
+    `labels`: optional fixed per-cell type vector (ints in [0, n_types))
+    — e.g. the REAL class distribution parsed from the reference's
+    bundled ground-truth — overriding the random uneven split."""
     rng = np.random.default_rng(seed)
     base = rng.lognormal(mean=1.0, sigma=base_sigma, size=n_genes)
-    # cluster sizes ~ uneven like real data
-    props = rng.dirichlet(np.ones(n_types) * 2.0)
-    counts = np.maximum((props * n_cells).astype(int), 5)
-    while counts.sum() < n_cells:
-        counts[np.argmax(props)] += 1
-    while counts.sum() > n_cells:
-        counts[np.argmax(counts)] -= 1
-    y = np.repeat(np.arange(n_types), counts)
-    rng.shuffle(y)
+    if labels is not None:
+        y = np.asarray(labels, int)
+        assert len(y) == n_cells and y.max() < n_types
+    else:
+        # cluster sizes ~ uneven like real data
+        props = rng.dirichlet(np.ones(n_types) * 2.0)
+        counts = np.maximum((props * n_cells).astype(int), 5)
+        while counts.sum() < n_cells:
+            counts[np.argmax(props)] += 1
+        while counts.sum() > n_cells:
+            counts[np.argmax(counts)] -= 1
+        y = np.repeat(np.arange(n_types), counts)
+        rng.shuffle(y)
 
     # one common DE gene set with independent per-type up/down signs:
     # makes all type pairs roughly equidistant (no accidental "supertype"

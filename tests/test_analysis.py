@@ -167,3 +167,51 @@ def test_embedding_separates_clusters():
         [np.linalg.norm(cent[a] - cent[b]) for a in range(C) for b in range(a + 1, C)]
     )
     assert between > 3 * within
+
+
+def test_marker_genes_unlimited2_gene_partitioned(tmp_path):
+    """Gene-partitioned input (directory of gene-block files, the
+    reference's get_marker_genes_unlimited2 form, R :159-162) matches the
+    single-matrix result run at the same thresholds."""
+    from sharp_tpu.analysis.markers import (
+        get_marker_genes,
+        get_marker_genes_unlimited2,
+    )
+    from sharp_tpu.io.blocks import BlockStore
+
+    rng = np.random.default_rng(3)
+    n, D, C = 150, 90, 3
+    y = rng.integers(1, C + 1, n)
+    X = rng.poisson(1.0, size=(n, D)).astype(np.float32)
+    for c in range(C):
+        X[y == c + 1, c * 10 : c * 10 + 6] += rng.poisson(
+            6.0, size=((y == c + 1).sum(), 6)
+        )
+
+    # matched thresholds: unlimited2 presets + its top-10 candidate rule
+    ref = get_marker_genes(
+        X, y, theta=1e-5, auc_thre=0.85, p_thre=0.05,
+    )
+    split = [X[:, :40], X[:, 40:70], X[:, 70:]]
+    r_list = get_marker_genes_unlimited2(
+        split, y, ng=1,
+    )
+    # ng=1 reduces to the base candidate rule -> identical selection
+    np.testing.assert_array_equal(
+        ref.mginfo["gene_index"], r_list.mginfo["gene_index"]
+    )
+    np.testing.assert_allclose(ref.mat, r_list.mat, rtol=1e-5)
+
+    # directory-of-files form, default top-10 rule
+    d = tmp_path / "gblocks"
+    d.mkdir()
+    for i, b in enumerate(split):
+        np.savez(d / f"genes_{i}.npz", X=b)
+    r_dir = get_marker_genes_unlimited2(str(d), y)
+    assert r_dir.n_markers >= C  # every cluster keeps a marker
+    assert set(np.unique(r_dir.mginfo["cluster"])) == set(range(1, C + 1))
+    # stats columns agree with the in-memory list form at the same rule
+    r_list10 = get_marker_genes_unlimited2(split, y)
+    np.testing.assert_array_equal(
+        r_dir.mginfo["gene_index"], r_list10.mginfo["gene_index"]
+    )

@@ -60,3 +60,62 @@ def test_sharp_unlimited_multihost_single_process_identical():
                          partition_ncells=128, multihost=True)
     np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
     assert r1.N_pred_cluster == r2.N_pred_cluster
+
+
+def test_sharp_unlimited_two_process_identical(tmp_path):
+    """True 2-process jax.distributed exercise of the streaming path:
+    each process clusters a disjoint block slice, the summary all-gather
+    runs with process_count == 2 (gloo CPU collectives), and the
+    concatenated per-process label slices must equal the single-process
+    result exactly."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for pr in procs:
+        try:
+            out, err = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            raise
+        assert pr.returncode == 0, err[-3000:]
+
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp_unlimited
+
+    X, _ = make_tpm_like(n_cells=500, n_genes=400, n_types=4, seed=5)
+    blocks = [X[:200], X[200:350], X[350:]]
+    ref = sharp_unlimited(
+        blocks, rN_seed=3, ensize_K=3, base_ncells=200,
+        partition_ncells=128, multihost=False,
+    )
+
+    p0 = np.load(tmp_path / "p0.npz")
+    p1 = np.load(tmp_path / "p1.npz")
+    combined = np.concatenate([p0["labels"], p1["labels"]])
+    np.testing.assert_array_equal(ref.pred_clusters, combined)
+    assert int(p0["n"]) == int(p1["n"]) == ref.N_pred_cluster

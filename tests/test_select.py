@@ -188,3 +188,38 @@ def test_public_get_opt_hclust_and_gethclust():
     res2 = sharp_tpu.gethclust(d, X)
     assert adjusted_rand_score(y, res2["f"]) == pytest.approx(1.0)
     assert len(res2["height"]) == n - 1
+
+
+def test_saturated_median_silhouette_ch_tiebreak():
+    """sMetaC-shape pathology: near-duplicate points (T fold-replicas per
+    true cluster) saturate the median silhouette — k-1 and k cuts differ
+    by ~1e-5 — and the argmax becomes float-noise. The CH near-tie
+    re-ranking must recover the true k (observed on-device: msil
+    k=10..13 within 6e-5, CH ratio 280x at the true cut)."""
+    import jax.numpy as jnp
+
+    from sharp_tpu.ops.select import opt_hclust
+
+    rng = np.random.default_rng(4)
+    true_k, reps, p = 12, 6, 64
+    base = rng.normal(size=(true_k, p)).astype(np.float32) * 3.0
+    pts = np.repeat(base, reps, axis=0)
+    pts += rng.normal(size=pts.shape).astype(np.float32) * 1e-3
+    NC = true_k * reps
+    NC_pad = 128
+    cents = np.zeros((NC_pad, p), np.float32)
+    cents[:NC] = pts
+    valid = np.arange(NC_pad) < NC
+    mu = cents.mean(axis=1, keepdims=True)
+    Xc = cents - mu
+    U = Xc / np.sqrt((Xc * Xc).sum(axis=1, keepdims=True) + 1e-12)
+    S = (U @ U.T).astype(np.float32)
+    np.fill_diagonal(S, 1.0)
+
+    res = opt_hclust(
+        jnp.asarray(S), jnp.asarray(valid), jnp.asarray(NC),
+        jnp.asarray(40),
+        symmetric=True, minN=6, ncand=35, nc_pad=48,
+        sil_thre=0.35, height_Ntimes=2.0,
+    )
+    assert int(res.k) == true_k, f"chose k={int(res.k)}, wanted {true_k}"

@@ -54,3 +54,17 @@ def test_sharded_rnn_backend():
     r_ref = sharp(X, n_devices=1, linkage_backend="xla", **kw)
     r_rnn = sharp(X, n_devices=4, linkage_backend="rnn", **kw)
     np.testing.assert_array_equal(r_ref.pred_clusters, r_rnn.pred_clusters)
+
+
+def test_ens_axis_sharding_matches_loop():
+    """The ensemble mesh axis must CARRY the K members (R_all
+    column-sharded over "ens", one label all-gather per fold) and still
+    produce the identical clustering as the single-device host loop."""
+    X, y = make_tpm_like(n_cells=900, n_genes=600, n_types=5, seed=13)
+    kw = dict(
+        rN_seed=5, base_ncells=400, partition_ncells=220, ensize_K=4,
+    )
+    r_loop = sharp(X, n_devices=1, **kw)
+    r_ens = sharp(X, n_devices=8, ensemble_axis=2, **kw)
+    np.testing.assert_array_equal(r_loop.pred_clusters, r_ens.pred_clusters)
+    assert adjusted_rand_score(y, r_ens.pred_clusters) >= 0.9
