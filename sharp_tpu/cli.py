@@ -38,6 +38,12 @@ def _add_knobs(p):
     p.add_argument("--partition-ncells", type=int, default=None)
     p.add_argument("--exp-type", type=str, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument(
+        "--linkage-backend", type=str, default=None, dest="linkage_backend",
+        choices=["auto", "xla", "pallas", "pallas_bf16", "rnn", "rnn_bf16"],
+        help="Ward linkage kernel (default: auto — resolved per problem "
+        "size; see ops/linkage.py:resolve_linkage_backend)",
+    )
 
 
 def _knobs(args):
@@ -45,6 +51,7 @@ def _knobs(args):
     for k in (
         "rN_seed", "ensize_K", "reduced_ndim", "N_cluster",
         "base_ncells", "partition_ncells", "exp_type", "n_devices",
+        "linkage_backend",
     ):
         v = getattr(args, k, None)
         if v is not None:
@@ -64,6 +71,13 @@ def main(argv=None):
     pu = sub.add_parser("unlimited", help="cluster a directory of blocks")
     pu.add_argument("input")
     pu.add_argument("--out", required=True)
+    pu.add_argument(
+        "--multihost", action="store_true",
+        help="each jax process streams a disjoint slice of the blocks "
+        "(jax.distributed; labels cover this host's blocks only)",
+    )
+    pu.add_argument("--no-resume", action="store_true",
+                    help="ignore any existing per-block manifest")
     _add_knobs(pu)
 
     pm = sub.add_parser("markers", help="marker genes for a clustering")
@@ -96,7 +110,10 @@ def main(argv=None):
     elif args.cmd == "unlimited":
         from sharp_tpu import sharp_unlimited
 
-        res = sharp_unlimited(args.input, **_knobs(args))
+        res = sharp_unlimited(
+            args.input, multihost=args.multihost,
+            resume=not args.no_resume, **_knobs(args),
+        )
         np.savez(
             args.out,
             pred_clusters=res.pred_clusters,

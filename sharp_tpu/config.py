@@ -73,7 +73,12 @@ class SharpConfig:
     n_devices: int = 1             # replaces n.cores (R/SHARP.R:162-167)
     ensemble_axis: int = 1         # mesh partitioning of the K ensemble axis
     dtype_compute: str = "float32"  # matmul input dtype ("bfloat16" on real runs)
-    linkage_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_bf16"
+    # "auto" | "xla" | "pallas" | "pallas_bf16" | "rnn" | "rnn_bf16":
+    # auto resolves per problem size (ops/linkage.py:resolve_linkage_backend)
+    # — on TPU the f32 serial Pallas kernel for 128-aligned n_pad <= 1024,
+    # the reciprocal-NN-rounds ladder ("rnn", f32) above, XLA loops on CPU
+    # and for non-ward hmethods
+    linkage_backend: str = "auto"
     block_pad: int = 0             # static padded block size (cells per block)
     nc_pad: int = 64               # padded per-block cluster one-hot width (>= maxN+1)
     meta_nc_budget: int = 2048     # compaction budget for sMetaC global clusters

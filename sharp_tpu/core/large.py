@@ -116,18 +116,119 @@ class FuseResult(NamedTuple):
     counts: np.ndarray        # (W,) cells per meta cluster
 
 
-def fuse_folds(
+class _PreparedBlock(NamedTuple):
+    """Host-side compaction of one block's fold summaries for sMetaC."""
+
+    t_idx: np.ndarray      # (NC,) fold index per global (fold, cluster) id
+    c_idx: np.ndarray      # (NC,) fold-local cluster id
+    cent_sums: np.ndarray  # (NC, p) per-cluster centroid SUMS
+    counts: np.ndarray     # (NC,) cells per cluster
+    cents: np.ndarray      # (NC, p) centroids (sums / counts)
+    NC: int
+    NC_pad: int
+    minN: int
+    maxN: int
+    ncand: int
+    meta_nc_pad: int
+
+
+def _smetac_block_shapes(cfg: SharpConfig, NC: int, NC_pad: int):
+    """Static sMetaC shapes for one block.
+
+    `ncand`/`meta_nc_pad` are sized from the PADDED cluster-count budget
+    (NC_pad), not the exact NC: candidates beyond the per-block traced
+    maxN are invalid-masked inside opt_hclust (cutree_multi's `valid`),
+    so selection is unchanged, while every block in the same NC_pad
+    bucket shares one compiled smetac program (the round-2 bench paid a
+    full XLA compile inside the timed fuse whenever blocks straddled a
+    bucket boundary).
+    """
+    minN, eff_maxN = smetac_range(
+        cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, NC
+    )
+    maxN = min(eff_maxN, NC - 1) if NC > 1 else 1
+    budget = min(eff_maxN, NC_pad)
+    ncand = max(budget - minN + 1, 1)
+    meta_nc_pad = ((budget + 9) // 8) * 8
+    return minN, maxN, ncand, meta_nc_pad
+
+
+def _prepare_block(
+    fold_results: List[dict], cfg: SharpConfig, NC_pad: Optional[int] = None
+) -> _PreparedBlock:
+    """Compact nonzero (fold, cluster) slots into dense global ids.
+
+    Entry order matches the original host loop: fold-major, cluster id
+    ascending within a fold (np.nonzero row-major order).
+    """
+    nc_pad = cfg.nc_pad
+    counts_all = np.stack(
+        [fr["counts"][: nc_pad - 1] for fr in fold_results]
+    )  # (T, nc_pad - 1)
+    t_idx, c_idx = np.nonzero(counts_all > 0)
+    NC = len(t_idx)
+    cent_all = np.stack([fr["cent_sum"] for fr in fold_results])
+    cent_sums = cent_all[t_idx, c_idx].astype(np.float32)
+    counts = counts_all[t_idx, c_idx].astype(np.float32)
+    cents = cent_sums / np.maximum(counts, 1.0)[:, None]
+    NC_pad = NC_pad or pad_dim(max(NC, 8))
+    minN, maxN, ncand, meta_nc_pad = _smetac_block_shapes(cfg, NC, NC_pad)
+    return _PreparedBlock(
+        t_idx=t_idx, c_idx=c_idx, cent_sums=cent_sums, counts=counts,
+        cents=cents, NC=NC, NC_pad=NC_pad, minN=minN, maxN=maxN,
+        ncand=ncand, meta_nc_pad=meta_nc_pad,
+    )
+
+
+def _finish_block(
     fold_results: List[dict],
     cfg: SharpConfig,
-    n_total: Optional[int] = None,
-    finalN_cluster: Optional[int] = None,
+    prep: _PreparedBlock,
+    tf: np.ndarray,
+    n_final: int,
 ) -> FuseResult:
-    """Global sMetaC over per-fold cluster summaries (R/SHARP.R:747-773)."""
-    n_total = n_total or sum(len(fr["finalC"]) for fr in fold_results)
+    """Map cells through the sMetaC table and aggregate meta centroids."""
     T = len(fold_results)
     nc_pad = cfg.nc_pad
+    meta_nc_pad = prep.meta_nc_pad
     has_x0 = "x0" in fold_results[0]
+    p = prep.cent_sums.shape[1]
+    tf_real = tf[: prep.NC]
 
+    # exact weighted meta centroids from the fold-cluster centroid sums
+    meta_cent_sum = np.zeros((meta_nc_pad, p), np.float32)
+    meta_counts = np.zeros(meta_nc_pad, np.float32)
+    np.add.at(meta_cent_sum, tf_real, prep.cent_sums)
+    np.add.at(meta_counts, tf_real, prep.counts)
+    meta_cents = meta_cent_sum / np.maximum(meta_counts, 1.0)[:, None]
+
+    # per-fold local cluster id -> meta label table (garbage slot at
+    # meta_nc_pad - 1 for empty/padded slots)
+    local_map = np.full((T, nc_pad), meta_nc_pad - 1, np.int32)
+    local_map[prep.t_idx, prep.c_idx] = tf_real
+
+    labels_parts = []
+    x0_parts = []
+    for t, fr in enumerate(fold_results):
+        labels_parts.append(local_map[t][fr["finalC"]])
+        if has_x0:
+            # x0 columns remapped (summed) onto global meta clusters
+            M = np.zeros((nc_pad, meta_nc_pad), np.float32)
+            cc = np.nonzero(local_map[t] < meta_nc_pad - 1)[0]
+            M[cc, local_map[t][cc]] = 1.0
+            x0_parts.append(fr["x0"] @ M)
+
+    return FuseResult(
+        labels=np.concatenate(labels_parts),
+        n_final=int(n_final),
+        x0=np.concatenate(x0_parts, axis=0) if has_x0 else None,
+        cents=meta_cents,
+        counts=meta_counts,
+    )
+
+
+def _warn_overflow(fold_results: List[dict]) -> None:
+    T = len(fold_results)
     n_over = sum(1 for fr in fold_results if fr.get("overflow"))
     if n_over:
         log(
@@ -136,90 +237,124 @@ def fuse_folds(
             f"maxN_cluster/ensize_K headroom or partition into smaller folds"
         )
 
-    # compact global (fold, cluster) ids on host — counts are tiny
-    entries = []  # (t, c) with nonzero membership
-    for t, fr in enumerate(fold_results):
-        present = np.nonzero(fr["counts"][: nc_pad - 1] > 0)[0]
-        entries.extend((t, int(c)) for c in present)
-    NC = len(entries)
-    p = fold_results[0]["cent_sum"].shape[1]
-    if T == 1:
-        fr = fold_results[0]
-        cents1 = fr["cent_sum"] / np.maximum(fr["counts"], 1.0)[:, None]
-        return FuseResult(
-            labels=fr["finalC"],
-            n_final=fr["n_meta"],
-            x0=fr.get("x0"),
-            cents=cents1.astype(np.float32),
-            counts=fr["counts"].astype(np.float32),
-        )
 
-    NC_pad = pad_dim(max(NC, 8))
-    cents = np.zeros((NC_pad, p), np.float32)
-    valid = np.zeros(NC_pad, bool)
-    lut = {}  # (t, c) -> compact id
-    for g, (t, c) in enumerate(entries):
-        fr = fold_results[t]
-        cents[g] = fr["cent_sum"][c] / max(fr["counts"][c], 1.0)
-        valid[g] = True
-        lut[(t, c)] = g
-
-    minN, maxN = smetac_range(
-        cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, NC
+def _single_fold_result(fr: dict) -> FuseResult:
+    """T == 1: the fold-local consensus IS the block meta clustering."""
+    cents1 = fr["cent_sum"] / np.maximum(fr["counts"], 1.0)[:, None]
+    return FuseResult(
+        labels=fr["finalC"],
+        n_final=fr["n_meta"],
+        x0=fr.get("x0"),
+        cents=cents1.astype(np.float32),
+        counts=fr["counts"].astype(np.float32),
     )
-    maxN = min(maxN, NC - 1) if NC > 1 else 1
-    ncand = max(maxN - minN + 1, 1)
-    meta_nc_pad = ((min(maxN, NC) + 9) // 8) * 8
+
+
+def fuse_folds(
+    fold_results: List[dict],
+    cfg: SharpConfig,
+    n_total: Optional[int] = None,
+    finalN_cluster: Optional[int] = None,
+) -> FuseResult:
+    """Global sMetaC over per-fold cluster summaries (R/SHARP.R:747-773)."""
+    _warn_overflow(fold_results)
+    if len(fold_results) == 1:
+        return _single_fold_result(fold_results[0])
+
+    prep = _prepare_block(fold_results, cfg)
+    cents = np.zeros((prep.NC_pad, prep.cents.shape[1]), np.float32)
+    cents[: prep.NC] = prep.cents
+    valid = np.zeros(prep.NC_pad, bool)
+    valid[: prep.NC] = True
 
     sres = smetac(
-        jnp.asarray(cents), jnp.asarray(valid), jnp.asarray(NC),
-        jnp.asarray(maxN),
-        minN=minN, ncand=ncand, meta_nc_pad=meta_nc_pad,
+        jnp.asarray(cents), jnp.asarray(valid), jnp.asarray(prep.NC),
+        jnp.asarray(prep.maxN),
+        minN=prep.minN, ncand=prep.ncand, meta_nc_pad=prep.meta_nc_pad,
         sil_thre=cfg.sil_thre, height_Ntimes=cfg.height_Ntimes,
         finalN_cluster=(
             jnp.asarray(finalN_cluster) if finalN_cluster is not None else None
         ),
         hmethod=cfg.hmethod, linkage_backend=cfg.linkage_backend,
     )
-    tf = np.asarray(sres.tf)
-
-    # per-meta-cluster centroids: sum the fold-cluster centroid sums by
-    # meta label (exact weighted mean, no per-cell pass)
-    meta_cent_sum = np.zeros((meta_nc_pad, p), np.float32)
-    meta_counts = np.zeros(meta_nc_pad, np.float32)
-    for g, (t, c) in enumerate(entries):
-        fr = fold_results[t]
-        m = tf[g]
-        meta_cent_sum[m] += fr["cent_sum"][c]
-        meta_counts[m] += fr["counts"][c]
-    meta_cents = meta_cent_sum / np.maximum(meta_counts, 1.0)[:, None]
-
-    labels_parts = []
-    x0_parts = []
-    for t, fr in enumerate(fold_results):
-        # map fold-local meta labels through sMetaC
-        local_map = np.full(nc_pad, meta_nc_pad - 1, np.int32)
-        for c in range(nc_pad - 1):
-            if (t, c) in lut:
-                local_map[c] = tf[lut[(t, c)]]
-        labels_parts.append(local_map[fr["finalC"]])
-        if has_x0:
-            # x0 columns remapped to global meta clusters (summed)
-            M = np.zeros((nc_pad, meta_nc_pad), np.float32)
-            for c in range(nc_pad - 1):
-                if local_map[c] < meta_nc_pad - 1:
-                    M[c, local_map[c]] = 1.0
-            x0_parts.append(fr["x0"] @ M)
-
-    labels = np.concatenate(labels_parts)
-    x0 = np.concatenate(x0_parts, axis=0) if has_x0 else None
-    return FuseResult(
-        labels=labels,
-        n_final=int(sres.n_final),
-        x0=x0,
-        cents=meta_cents,
-        counts=meta_counts,
+    return _finish_block(
+        fold_results, cfg, prep, np.asarray(sres.tf), int(sres.n_final)
     )
+
+
+def fuse_blocks(
+    blocks_fold_results: List[List[dict]],
+    cfg: SharpConfig,
+    finalN_cluster: Optional[int] = None,
+    group: int = 8,
+) -> List[FuseResult]:
+    """Batched per-block sMetaC fuse: one vmapped smetac per shape group.
+
+    Semantically equivalent to `[fuse_folds(frs, cfg) for frs in blocks]`
+    but blocks sharing an NC_pad bucket are fused in ONE vmapped device
+    call — the latency-bound linkage merge loop amortizes across the
+    batch, and each distinct shape compiles exactly once per process
+    (the dominant cost of the round-2 per-block fuse).
+    """
+    import jax
+
+    results: List[Optional[FuseResult]] = [None] * len(blocks_fold_results)
+    preps: List[Optional[_PreparedBlock]] = [None] * len(blocks_fold_results)
+    by_shape = {}
+    for bi, frs in enumerate(blocks_fold_results):
+        _warn_overflow(frs)
+        if len(frs) == 1:
+            results[bi] = _single_fold_result(frs[0])
+            continue
+        prep = _prepare_block(frs, cfg)
+        preps[bi] = prep
+        shape_key = (prep.NC_pad, prep.minN, prep.ncand, prep.meta_nc_pad)
+        by_shape.setdefault(shape_key, []).append(bi)
+
+    for (NC_pad, minN, ncand, meta_nc_pad), idxs in by_shape.items():
+        def one(c, v, n, m, fN):
+            return smetac(
+                c, v, n, m,
+                minN=minN, ncand=ncand, meta_nc_pad=meta_nc_pad,
+                sil_thre=cfg.sil_thre, height_Ntimes=cfg.height_Ntimes,
+                finalN_cluster=fN if finalN_cluster is not None else None,
+                hmethod=cfg.hmethod, linkage_backend=cfg.linkage_backend,
+            )
+
+        batched = jax.vmap(one) if finalN_cluster is not None else jax.vmap(
+            lambda c, v, n, m: one(c, v, n, m, None)
+        )
+        for g0 in range(0, len(idxs), group):
+            chunk = idxs[g0 : g0 + group]
+            G = len(chunk)
+            p = preps[chunk[0]].cents.shape[1]
+            cents = np.zeros((G, NC_pad, p), np.float32)
+            valid = np.zeros((G, NC_pad), bool)
+            NCs = np.zeros(G, np.int32)
+            maxNs = np.zeros(G, np.int32)
+            for gi, bi in enumerate(chunk):
+                pr = preps[bi]
+                cents[gi, : pr.NC] = pr.cents
+                valid[gi, : pr.NC] = True
+                NCs[gi] = pr.NC
+                maxNs[gi] = pr.maxN
+            args = (
+                jnp.asarray(cents), jnp.asarray(valid),
+                jnp.asarray(NCs), jnp.asarray(maxNs),
+            )
+            if finalN_cluster is not None:
+                args = args + (
+                    jnp.full((G,), finalN_cluster, jnp.int32),
+                )
+            sres = jax.block_until_ready(batched(*args))
+            tfs = np.asarray(sres.tf)
+            nfs = np.asarray(sres.n_final)
+            for gi, bi in enumerate(chunk):
+                results[bi] = _finish_block(
+                    blocks_fold_results[bi], cfg, preps[bi],
+                    tfs[gi], int(nfs[gi]),
+                )
+    return results
 
 
 def sharp_large(
@@ -255,8 +390,10 @@ def sharp_large(
         )
 
     with timer.stage("fold_ensemble"):
-        if cfg.n_devices > 1 and len(jax.devices()) >= cfg.n_devices:
-            from sharp_tpu.parallel.mesh import make_mesh
+        from sharp_tpu.parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(cfg)
+        if mesh is not None and T > 1:
             from sharp_tpu.parallel.sharded import process_folds_sharded
 
             X_folds = np.zeros((T, block_pad, genes), np.float32)
@@ -264,14 +401,6 @@ def sharp_large(
             for t, sz in enumerate(sizes):
                 X_folds[t, :sz] = X[perm[off : off + sz]]
                 off += sz
-            n_ens = (
-                cfg.ensemble_axis
-                if cfg.ensemble_axis > 1
-                and cfg.ensize_K % cfg.ensemble_axis == 0
-                and cfg.n_devices % cfg.ensemble_axis == 0
-                else 1
-            )
-            mesh = make_mesh(n_data=cfg.n_devices // n_ens, n_ens=n_ens)
             fold_results = process_folds_sharded(
                 X_folds, np.asarray(sizes), R_all, cfg, logf, mesh
             )

@@ -21,8 +21,10 @@ _NUM = re.compile(r"(\d+)")
 
 
 def _numeric_key(name: str):
+    # FIRST numeric component, matching the reference's filename-ordering
+    # convention (R/get_marker_genes_unlimited2.R:160, R/SHARP_unlimited3.R:59-62)
     parts = _NUM.findall(name)
-    return (int(parts[-1]) if parts else 0, name)
+    return (int(parts[0]) if parts else 0, name)
 
 
 class BlockStore:

@@ -100,12 +100,20 @@ def resolve_linkage_backend(
         if hmethod != "ward.D":
             return "xla"
         if jax.default_backend() == "tpu":
-            return "pallas" if n_pad <= 1024 else "rnn"
+            # the serial Pallas kernel's VMEM slicing needs lane-aligned
+            # problem sizes (Mosaic: slices along the tiled minor dim must
+            # be multiples of 128); misaligned pads take the rnn ladder
+            return "pallas" if n_pad <= 1024 and n_pad % 128 == 0 else "rnn"
         return "xla"
     if hmethod != "ward.D" and backend != "xla":
         raise ValueError(
             f"linkage backend {backend!r} implements ward.D only; "
             f"hmethod {hmethod!r} requires backend='xla' (or 'auto')"
+        )
+    if backend.startswith("pallas") and n_pad % 128:
+        raise ValueError(
+            f"linkage backend {backend!r} requires a 128-aligned padded "
+            f"size (got n_pad={n_pad}); use 'rnn' or 'auto'"
         )
     return backend
 

@@ -215,13 +215,21 @@ def opt_hclust(
     near = valid & (jnp.where(valid, msil, _NEG) >= maxsil - SIL_TIE_EPS)
     n_near = jnp.sum(near.astype(jnp.int32))
     ks_cand = minN + jnp.arange(ncand)
+    midx_all = jnp.arange(link.heights.shape[0])
     t_next = jnp.clip(n_real - ks_cand, 0, link.heights.shape[0] - 1)
     t_last = jnp.clip(n_real - ks_cand - 1, 0, link.heights.shape[0] - 1)
     h_next = jnp.take(link.heights, t_next)
     h_last = jnp.where(
         ks_cand >= n_real, 0.0, jnp.take(link.heights, t_last)
     )
-    gap_ratio = (h_next + 1e-12) / (h_last + 1e-12)
+    # data-scaled epsilon floor: with a bare 1e-12, an exact-duplicate
+    # merge (h_last == 0) would win the re-rank by a noise-scaled ~1e12
+    # ratio rather than a principled margin (advisor r2)
+    h_scale = jnp.max(
+        jnp.where(midx_all < n_real - 1, link.heights, 0.0)
+    )
+    gap_eps = jnp.maximum(1e-6 * h_scale, 1e-12)
+    gap_ratio = (h_next + gap_eps) / (jnp.maximum(h_last, 0.0) + gap_eps)
     gap_among_near = jnp.argmax(jnp.where(near, gap_ratio, _NEG))
     sil_oind = jnp.where(
         n_near > 1, gap_among_near, _middle_tied_argmax(msil, valid)

@@ -37,3 +37,35 @@ def make_mesh(
         )
     grid = np.asarray(devices[: n_data * n_ens]).reshape(n_data, n_ens)
     return Mesh(grid, ("data", "ens"))
+
+
+def resolve_mesh(cfg) -> Optional[Mesh]:
+    """Mesh for cfg.n_devices chips, or None for the single-device path.
+
+    The "ens" axis is carved out only when cfg.ensemble_axis divides both
+    ensize_K and n_devices; a requested-but-undividable ensemble_axis is
+    REJECTED loudly (same fail-loud policy as resolve_linkage_backend)
+    instead of silently running ens-replicated.
+    """
+    if cfg.n_devices <= 1:
+        return None
+    if len(jax.devices()) < cfg.n_devices:
+        from sharp_tpu.utils.timers import log
+
+        log(
+            f"WARNING: n_devices={cfg.n_devices} requested but only "
+            f"{len(jax.devices())} devices visible — running single-device"
+        )
+        return None
+    n_ens = 1
+    if cfg.ensemble_axis > 1:
+        if (
+            cfg.ensize_K % cfg.ensemble_axis
+            or cfg.n_devices % cfg.ensemble_axis
+        ):
+            raise ValueError(
+                f"ensemble_axis={cfg.ensemble_axis} must divide both "
+                f"ensize_K={cfg.ensize_K} and n_devices={cfg.n_devices}"
+            )
+        n_ens = cfg.ensemble_axis
+    return make_mesh(n_data=cfg.n_devices // n_ens, n_ens=n_ens)

@@ -48,30 +48,58 @@ def _config_fingerprint(cfg: SharpConfig) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _process_block(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool):
-    """Full per-block pipeline: fold partition -> fold program -> in-block
-    fuse. Returns (labels (nb,), centroids (C, p), sizes (C,))."""
+def _fold_pass(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None):
+    """One block's fold pass -> list of per-fold summary dicts.
+
+    With a mesh, the block's folds fan out over the mesh "data" axis —
+    the within-host multi-chip story of SURVEY.md §5.8 (the reference's
+    K x T fork fan-out, R/SHARP.R:554-618) — otherwise the single-device
+    grouped loop runs.
+    """
     nb = Xb.shape[0]
     sizes = fold_sizes(nb, cfg.partition_ncells)
     block_pad = pad_dim(max(sizes))
-    if len(sizes) > 1:
-        from sharp_tpu.parallel.sharded import process_folds_grouped
+    if len(sizes) == 1:
+        return [process_fold(Xb, sizes[0], block_pad, R_all, cfg, logf)]
+    if mesh is not None:
+        from sharp_tpu.parallel.sharded import process_folds_sharded
 
-        frs = process_folds_grouped(
-            np.asarray(Xb, np.float32), sizes, block_pad, R_all, cfg, logf,
-            group=min(8, len(sizes)),
+        T = len(sizes)
+        X_folds = np.zeros((T, block_pad, Xb.shape[1]), np.float32)
+        off = 0
+        for t, sz in enumerate(sizes):
+            X_folds[t, :sz] = Xb[off : off + sz]
+            off += sz
+        return process_folds_sharded(
+            X_folds, np.asarray(sizes, np.int32), R_all, cfg, logf, mesh
         )
-    else:
-        frs = [process_fold(Xb, sizes[0], block_pad, R_all, cfg, logf)]
-    fres = fuse_folds(frs, cfg, n_total=nb)
-    # block-cluster centroids come straight from the fuse's per-meta
-    # centroid sums in the shared mean-RP feature space — no per-cell pass
+    from sharp_tpu.parallel.sharded import process_folds_grouped
+
+    return process_folds_grouped(
+        np.asarray(Xb, np.float32), sizes, block_pad, R_all, cfg, logf,
+        group=min(8, len(sizes)),
+    )
+
+
+def _block_summary(fres):
+    """(labels (nb,), centroids (C, p), sizes (C,)) from a block fuse.
+
+    Block-cluster centroids come straight from the fuse's per-meta
+    centroid sums in the shared mean-RP feature space — no per-cell pass.
+    """
     uniq = np.unique(fres.labels)
     cents = fres.cents[uniq]
     counts = fres.counts[uniq]
-    # re-encode labels as positions into `uniq`
-    pos = np.searchsorted(uniq, fres.labels)
+    pos = np.searchsorted(uniq, fres.labels)  # labels as positions in uniq
     return pos.astype(np.int32), cents.astype(np.float32), counts
+
+
+def _process_block(
+    Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None
+):
+    """Full per-block pipeline: fold pass + in-block sMetaC fuse."""
+    frs = _fold_pass(Xb, cfg, R_all, logf, mesh)
+    return _block_summary(fuse_folds(frs, cfg, n_total=Xb.shape[0]))
 
 
 def global_block_fuse(summaries, cfg: SharpConfig):
@@ -139,6 +167,7 @@ def sharp_unlimited(
     manifest_dir: Optional[str] = None,
     resume: bool = True,
     multihost: bool = False,
+    fuse_batch: int = 8,
     **knobs,
 ) -> SharpResult:
     """Blocked / out-of-core clustering ~ SHARP_unlimited{,2,3}.
@@ -229,7 +258,31 @@ def sharp_unlimited(
         )
 
     # --- per-block pass with prefetch + manifest resume ------------------
-    block_results = []
+    # Fold passes run per block (device); the per-block sMetaC fuses are
+    # BATCHED over `fuse_batch` blocks via one vmapped smetac call per
+    # shape bucket (core/large.fuse_blocks) — the merge loop is
+    # latency-bound, so batching blocks amortizes it, and every block in
+    # a bucket shares one compiled program.
+    from sharp_tpu.core.large import fuse_blocks
+    from sharp_tpu.parallel.mesh import resolve_mesh
+
+    mesh = resolve_mesh(cfg)
+    results_by_block = {}
+    pending = []  # (block index, fold summaries) awaiting fuse
+
+    def fuse_pending():
+        if not pending:
+            return
+        fused = fuse_blocks([frs for _, frs in pending], cfg)
+        for (i, _), fres in zip(pending, fused):
+            labels, cents, counts = _block_summary(fres)
+            mp = manifest_path(i)
+            if mp:
+                np.savez(mp, labels=labels, cents=cents, counts=counts)
+            results_by_block[i] = (labels, cents, counts)
+            log(f"block {i}: {len(labels)} cells -> {len(counts)} clusters")
+        pending.clear()
+
     with timer.stage("block_pass"):
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
             future = None
@@ -238,14 +291,12 @@ def sharp_unlimited(
                 mp = manifest_path(i)
                 return not (resume and mp and os.path.exists(mp))
 
-            nxt = 0
             prefetched_for = None
             for i in my_blocks:
-                mp = manifest_path(i)
                 if not want(i):
-                    z = np.load(mp)
-                    block_results.append(
-                        (z["labels"], z["cents"], z["counts"])
+                    z = np.load(manifest_path(i))
+                    results_by_block[i] = (
+                        z["labels"], z["cents"], z["counts"]
                     )
                     log(f"block {i}: resumed from manifest")
                     continue
@@ -260,11 +311,11 @@ def sharp_unlimited(
                 )
                 prefetched_for = nxt
 
-                labels, cents, counts = _process_block(Xb, cfg, R_all, logf)
-                if mp:
-                    np.savez(mp, labels=labels, cents=cents, counts=counts)
-                block_results.append((labels, cents, counts))
-                log(f"block {i}: {len(labels)} cells -> {len(counts)} clusters")
+                pending.append((i, _fold_pass(Xb, cfg, R_all, logf, mesh)))
+                if len(pending) >= fuse_batch:
+                    fuse_pending()
+            fuse_pending()
+    block_results = [results_by_block[i] for i in my_blocks]
 
     # --- gather block summaries (one collective across hosts) ------------
     with timer.stage("summary_gather"):

@@ -56,6 +56,76 @@ def test_large_path_reproducible():
     np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
 
 
+def _fake_fold_results(rng, T, nclust, nc_pad, p, n_fold):
+    """Well-separated synthetic fold summaries (tie-free merges)."""
+    frs = []
+    for _ in range(T):
+        k = int(rng.integers(max(nclust - 2, 2), nclust + 1))
+        counts = np.zeros(nc_pad, np.float32)
+        counts[:k] = rng.multinomial(n_fold, np.ones(k) / k)
+        cents = np.zeros((nc_pad, p), np.float32)
+        cents[:k] = rng.normal(size=(k, p)) * 4.0
+        frs.append({
+            "finalC": rng.integers(0, k, n_fold).astype(np.int32),
+            "n_meta": k,
+            "cent_sum": cents * counts[:, None],
+            "counts": counts,
+            "k_per": np.full(3, k, np.int32),
+            "maxsil": np.full(3, 0.5, np.float32),
+            "overflow": False,
+        })
+    return frs
+
+
+def test_fuse_blocks_matches_fuse_folds():
+    """The batched vmapped per-block sMetaC fuse must reproduce the
+    per-block fuse_folds exactly (same smetac semantics, one compile)."""
+    from sharp_tpu.config import resolve_config
+    from sharp_tpu.core.large import fuse_blocks, fuse_folds
+
+    rng = np.random.default_rng(5)
+    cfg = resolve_config(
+        40000, 1000, ensize_K=3, reduced_ndim=32, partition_ncells=500,
+        forview=False,
+    )
+    blocks = [
+        _fake_fold_results(rng, T=4, nclust=6, nc_pad=cfg.nc_pad, p=32,
+                           n_fold=500)
+        for _ in range(5)
+    ]
+    # jitter one block's cluster count so shapes still bucket together
+    singles = [fuse_folds(frs, cfg) for frs in blocks]
+    batched = fuse_blocks(blocks, cfg, group=3)
+    for s, b in zip(singles, batched):
+        np.testing.assert_array_equal(s.labels, b.labels)
+        assert s.n_final == b.n_final
+        np.testing.assert_allclose(s.cents, b.cents, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s.counts, b.counts)
+
+
+def test_fuse_static_shapes_stable_across_blocks():
+    """Blocks with jittered cluster counts in the same NC_pad bucket must
+    resolve identical static smetac shapes (no per-block recompiles —
+    the round-2 bench regression)."""
+    from sharp_tpu.config import resolve_config
+    from sharp_tpu.core.large import _prepare_block
+
+    rng = np.random.default_rng(9)
+    cfg = resolve_config(
+        1306127, 27998, ensize_K=5, reduced_ndim=64, partition_ncells=2000,
+        forview=False,
+    )
+    shapes = set()
+    for _ in range(4):
+        frs = _fake_fold_results(
+            rng, T=25, nclust=40, nc_pad=cfg.nc_pad, p=64, n_fold=2000
+        )
+        pr = _prepare_block(frs, cfg)
+        assert pr.NC_pad == 1024
+        shapes.add((pr.NC_pad, pr.minN, pr.ncand, pr.meta_nc_pad))
+    assert len(shapes) == 1, f"static fuse shapes vary: {shapes}"
+
+
 def test_fold_program_rnn_backend_matches_xla():
     """The rnn linkage backend (pure XLA, the TPU production path for
     n_pad > 1024) produces the same fold summary as the xla loop."""
