@@ -24,7 +24,6 @@ class BlockEnsembleResult(NamedTuple):
     k_per: jax.Array     # (K,) chosen cluster count per member
     maxsil: jax.Array    # (K,) max median silhouette per member
     mean_proj: jax.Array  # (n_pad, p) ensemble-mean projected features (viE block)
-    proj: jax.Array      # (K, n_pad, p) all projections
 
 
 @functools.partial(
@@ -94,5 +93,4 @@ def cluster_block_ensemble(
         k_per=k_per,
         maxsil=maxsil,
         mean_proj=jnp.mean(proj, axis=0),
-        proj=proj,
     )

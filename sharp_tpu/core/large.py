@@ -147,6 +147,12 @@ def _smetac_block_shapes(cfg: SharpConfig, NC: int, NC_pad: int):
         cfg.n_cells, cfg.minN_cluster, cfg.maxN_cluster, NC
     )
     maxN = min(eff_maxN, NC - 1) if NC > 1 else 1
+    # a block with fewer clusters than the >= 1e6 widened minN floor
+    # would otherwise have NO valid candidate and silently collapse to
+    # one cluster (the reference's cutree would error outright here);
+    # clamp the floor so at least one candidate survives
+    if maxN < minN:
+        minN = max(2, maxN)
     budget = min(eff_maxN, NC_pad)
     ncand = max(budget - minN + 1, 1)
     meta_nc_pad = ((budget + 9) // 8) * 8
@@ -326,13 +332,19 @@ def fuse_blocks(
         )
         for g0 in range(0, len(idxs), group):
             chunk = idxs[g0 : g0 + group]
-            G = len(chunk)
+            # pad short batches to the full group width (replicating the
+            # first block; extras discarded) so ONE batch shape compiles
+            # per bucket regardless of how many blocks remain — and a
+            # 1-block warmup run compiles the same program a 26-block
+            # run executes
+            G = group
+            padded = chunk + [chunk[0]] * (G - len(chunk))
             p = preps[chunk[0]].cents.shape[1]
             cents = np.zeros((G, NC_pad, p), np.float32)
             valid = np.zeros((G, NC_pad), bool)
             NCs = np.zeros(G, np.int32)
             maxNs = np.zeros(G, np.int32)
-            for gi, bi in enumerate(chunk):
+            for gi, bi in enumerate(padded):
                 pr = preps[bi]
                 cents[gi, : pr.NC] = pr.cents
                 valid[gi, : pr.NC] = True

@@ -450,134 +450,6 @@ def ward_linkage_deferred(
     return LinkageResult(merges=carry[7], heights=carry[8])
 
 
-@functools.partial(jax.jit, static_argnames=("eager_w",))
-def ward_linkage_tri(D: jax.Array, eager_w: int = 32) -> LinkageResult:
-    """ward.D agglomeration on a growing triangular index space — no
-    column writes, no correction machinery.
-
-    scipy/fastcluster-style indexing: merge t creates cluster w = n + t
-    whose distances to every older alive cluster are written ONCE into row
-    w. Every pair (x, y), x < y, lives in row y forever: values never
-    change after being written, so the only cache staleness is *death* —
-    a cached row minimum pointing at a merged-away column. That is fixed
-    by one batched eager revalidation of the ≤eager_w rows whose argmin
-    just died, with the lazy pop-revalidate loop as the exactness
-    backstop.
-
-    Per step: 1 contiguous row write, 2 strided column gathers (for the
-    Lance-Williams inputs), one (eager_w, N) row gather — O(n) traffic
-    instead of `ward_linkage`'s O(n^2) masked argmin.
-
-    Output (merges in survivor=min-original-index convention, heights) is
-    identical to `ward_linkage` up to float ties.
-    """
-    n = D.shape[-1]
-    N = 2 * n - 1
-    dt = D.dtype
-    D = _prep_matrix(D)
-    ar = jnp.arange(N)
-
-    # lower-triangular initial storage: row r holds d(r, c) for c < r
-    tri_mask = ar[:n, None] > ar[None, :n]
-    Dt = jnp.full((N, N), BIG, dt)
-    Dt = Dt.at[:n, :n].set(jnp.where(tri_mask, D, BIG))
-
-    alive = jnp.concatenate(
-        [jnp.ones((n,), bool), jnp.zeros((N - n,), bool)]
-    )
-    sizes = jnp.ones((N,), dt)
-    rep = jnp.concatenate(
-        [jnp.arange(n, dtype=jnp.int32), jnp.zeros((N - n,), jnp.int32)]
-    )
-    rowmin0 = jnp.min(Dt[:n], axis=1)
-    rowarg0 = jnp.argmin(Dt[:n], axis=1).astype(jnp.int32)
-    rowmin = jnp.concatenate([rowmin0, jnp.full((N - n,), BIG, dt)])
-    rowarg = jnp.concatenate([rowarg0, jnp.zeros((N - n,), jnp.int32)])
-
-    def step(t, carry):
-        (Dt, alive, sizes, rep, rowmin, rowarg, merges, heights) = carry
-        w = n + t
-
-        def reval_cond(state):
-            return jnp.logical_not(state[2])
-
-        def reval_body(state):
-            rowmin, rowarg, _ = state
-            k0 = jnp.argmin(rowmin)
-            row = jnp.where((ar < k0) & alive, Dt[k0], BIG)
-            m = jnp.min(row)
-            a = jnp.argmin(row).astype(jnp.int32)
-            exact = m <= rowmin[k0]
-            rowmin = rowmin.at[k0].set(m)
-            rowarg = rowarg.at[k0].set(a)
-            return rowmin, rowarg, exact
-
-        rowmin, rowarg, _ = jax.lax.while_loop(
-            reval_cond, reval_body, (rowmin, rowarg, jnp.asarray(False))
-        )
-
-        b = jnp.argmin(rowmin)          # newer cluster of the pair
-        a = rowarg[b]                   # older cluster
-        h = rowmin[b]
-
-        # full distance vectors of a and b: own row below the diagonal,
-        # own column (in newer rows) above it
-        da = jnp.where(ar < a, Dt[a], Dt[:, a])
-        db = jnp.where(ar < b, Dt[b], Dt[:, b])
-        na = sizes[a]
-        nb = sizes[b]
-        nx = sizes
-        formula = ((na + nx) * da + (nb + nx) * db - nx * h) / (na + nb + nx)
-        valid = alive & (ar != a) & (ar != b)
-        newrow = jnp.where(valid, formula, BIG)
-
-        Dt = Dt.at[w, :].set(newrow)
-        alive = alive.at[a].set(False).at[b].set(False).at[w].set(True)
-        sizes = sizes.at[w].set(na + nb)
-        rowmin = rowmin.at[w].set(jnp.min(newrow))
-        rowarg = rowarg.at[w].set(jnp.argmin(newrow).astype(jnp.int32))
-        rowmin = rowmin.at[a].set(BIG).at[b].set(BIG)
-
-        # record in the survivor=min-original-index convention so the
-        # cutree/selection stack is shared with the other implementations
-        ra = rep[a]
-        rb = rep[b]
-        i = jnp.minimum(ra, rb)
-        j = jnp.maximum(ra, rb)
-        rep = rep.at[w].set(i)
-        merges = merges.at[t, 0].set(i)
-        merges = merges.at[t, 1].set(j)
-        heights = heights.at[t].set(h)
-
-        # eager revalidation of rows whose cached argmin just died
-        if eager_w > 0:
-            stale = alive & ((rowarg == a) | (rowarg == b))
-            idxs = jnp.nonzero(stale, size=eager_w, fill_value=a)[0]
-            slot_ok = jnp.arange(eager_w) < jnp.sum(stale.astype(jnp.int32))
-            rows = jnp.where(
-                (ar[None, :] < idxs[:, None]) & alive[None, :],
-                Dt[idxs], BIG,
-            )
-            mins = jnp.min(rows, axis=1)
-            args = jnp.argmin(rows, axis=1).astype(jnp.int32)
-            rowmin = rowmin.at[idxs].set(
-                jnp.where(slot_ok, mins, rowmin[idxs])
-            )
-            rowarg = rowarg.at[idxs].set(
-                jnp.where(slot_ok, args, rowarg[idxs])
-            )
-
-        return (Dt, alive, sizes, rep, rowmin, rowarg, merges, heights)
-
-    init = (
-        Dt, alive, sizes, rep, rowmin, rowarg,
-        jnp.zeros((n - 1, 2), dtype=jnp.int32),
-        jnp.zeros((n - 1,), dtype=dt),
-    )
-    out = jax.lax.fori_loop(0, n - 1, step, init)
-    return LinkageResult(merges=out[6], heights=out[7])
-
-
 @functools.partial(
     jax.jit, static_argnames=("pair_cap", "store_dtype", "compact_n",
                               "compact_cap")

@@ -37,7 +37,7 @@ def _batched_fold_fn(static: dict):
 
 
 def process_folds_grouped(
-    X: np.ndarray,           # (n, genes) permuted cells
+    X,                       # (n, genes) permuted cells, or a SparseBlock
     sizes,                   # fold sizes
     block_pad: int,
     R_all: jax.Array,
@@ -50,33 +50,76 @@ def process_folds_grouped(
     The linkage loop is latency-bound per step, so batching folds into the
     vmapped fold program amortizes the sequential-step overhead across
     group x K ensemble members.
+
+    With a SparseBlock input, each group ships CSR triplets and scatters
+    them into the dense padded folds ON DEVICE (io/sparse.densify_folds)
+    — at single-cell densities this cuts host->device traffic ~6x vs the
+    dense form, and the next group's triplets are staged (host slice +
+    async transfer) while the device runs the current fold program.
     """
+    from sharp_tpu.io.sparse import (
+        SparseBlock,
+        densify_folds,
+        fold_triplets,
+        nnz_pad,
+    )
+
     T = len(sizes)
     genes = X.shape[1]
     static = fold_static_args(cfg)
     fn = jax.jit(_batched_fold_fn(static))
     results = []
-    off = 0
     group = min(group, T)
-    for g0 in range(0, T, group):
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+    sparse = isinstance(X, SparseBlock)
+    if sparse:
+        fold_nnz = [
+            int(X.indptr[offsets[t] + sizes[t]] - X.indptr[offsets[t]])
+            for t in range(T)
+        ]
+        budget = nnz_pad(max(fold_nnz))
+
+    def stage(g0):
+        """Host-side slice + (async) device transfer for one group."""
         gsizes = list(sizes[g0 : g0 + group])
         G = len(gsizes)
-        # pad the last group to a fixed width so the jit never recompiles
-        pad_sizes = gsizes + [gsizes[0]] * (group - G)
-        Xg = np.zeros((group, block_pad, genes), np.float32)
-        for gi, sz in enumerate(gsizes):
-            Xg[gi, :sz] = X[off : off + sz]
-            off += sz
-        for gi in range(G, group):
-            Xg[gi] = Xg[0]
+        pad_sizes = gsizes + [gsizes[0]] * (group - G)  # never recompile
+        starts = [int(offsets[g0 + gi]) for gi in range(G)]
+        starts += [starts[0]] * (group - G)
+        if sparse:
+            rows, cols, vals = fold_triplets(
+                X, starts, pad_sizes, block_pad, budget
+            )
+            staged = (
+                jax.device_put(rows), jax.device_put(cols),
+                jax.device_put(vals),
+            )
+        else:
+            Xg = np.zeros((group, block_pad, genes), np.float32)
+            for gi, (r0, sz) in enumerate(zip(starts, pad_sizes)):
+                Xg[gi, :sz] = X[r0 : r0 + sz]
+            staged = jax.device_put(Xg)
         masks = np.arange(block_pad)[None, :] < np.asarray(pad_sizes)[:, None]
+        return staged, masks, pad_sizes, gsizes
+
+    staged = stage(0)
+    for g0 in range(0, T, group):
+        data, masks, pad_sizes, gsizes = staged
+        if sparse:
+            Xg = densify_folds(*data, block_pad=block_pad, genes=genes)
+        else:
+            Xg = data
         out = fn(
-            jnp.asarray(Xg),
+            Xg,
             jnp.asarray(masks),
             jnp.asarray(np.asarray(pad_sizes, np.int32)),
             R_all,
             jnp.asarray(logf),
         )
+        # stage the NEXT group while the device runs this one
+        if g0 + group < T:
+            staged = stage(g0 + group)
         out = jax.block_until_ready(out)
         for gi, sz in enumerate(gsizes):
             s = jax.tree.map(lambda a: a[gi], out)

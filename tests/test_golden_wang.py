@@ -23,6 +23,43 @@ from tests.synth import make_tpm_like
 
 REF_LABEL = "/root/reference/data/label.RData"
 
+# The real expression matrix, the moment someone supplies it: set
+# SHARP_WANG_TPM to a Wang_Pancreas_TPM.RData (or leave it at the
+# reference's bundled path, stripped in this mount) and the TRUE
+# reference acceptance gate below runs unmodified.
+WANG_TPM = os.environ.get(
+    "SHARP_WANG_TPM", "/root/reference/data/Wang_Pancreas_TPM.RData"
+)
+
+
+def _load_wang_tpm():
+    """(genes x cells) matrix from the RData blob, cells-by-genes out."""
+    from sharp_tpu.io.rdata import read_rdata
+
+    obj = read_rdata(WANG_TPM)
+    mat = next(iter(obj.values()))
+    X = np.asarray(getattr(mat, "values", mat), np.float32)
+    # reference orientation is genes x cells (R/SHARP.R:52-61)
+    return X.T
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(WANG_TPM) and os.path.getsize(WANG_TPM) > 1024),
+    reason="Wang_Pancreas_TPM.RData not supplied (set SHARP_WANG_TPM)",
+)
+def test_wang_pancreas_real_matrix_ari():
+    """THE reference acceptance test (README.md:104-116): ARI >= 0.92 on
+    the real Wang pancreas TPM matrix vs the bundled 479-cell labels."""
+    from sharp_tpu.io.rdata import read_rdata
+
+    lab = read_rdata(REF_LABEL)["label"]
+    codes = np.asarray(lab.codes, int) - 1
+    X = _load_wang_tpm()
+    assert X.shape[0] == 479
+    res = sharp(X, rN_seed=2103, exp_type="TPM")
+    ari = adjusted_rand_score(codes, res.pred_clusters)
+    assert ari >= 0.92, f"Wang pancreas ARI {ari:.4f} below golden gate"
+
 
 @pytest.mark.skipif(
     not os.path.exists(REF_LABEL), reason="reference not mounted"

@@ -126,6 +126,61 @@ def test_fuse_static_shapes_stable_across_blocks():
     assert len(shapes) == 1, f"static fuse shapes vary: {shapes}"
 
 
+def test_smetac_second_best_override_masks_invalid_candidates():
+    """The 2-cluster second-best-silhouette override (R/sMetaC.R:139-147)
+    must rank only VALID candidates: an out-of-range cut whose degenerate
+    msil would rank second must never win (round-2 fix, core/smetac.py).
+
+    Centroid-Pearson similarity can't organically produce an invalid slot
+    outranking the valid runner-up (invalid cuts score exactly 0 and
+    dendrogram cuts keep nonnegative medians), so the sweep result is
+    injected directly: msil [0.9, 0.2, 0.1, 0.8, 0.0] with slots 3-4
+    invalid. Fixed code picks candidate 1 (0.2, the best valid runner-up);
+    the pre-fix code picked the invalid 0.8 at slot 3.
+    """
+    import jax.numpy as jnp
+
+    import sharp_tpu.core.smetac as sm
+    from sharp_tpu.ops.select import OptHclust
+
+    ncand, meta_nc_pad, NC_pad = 5, 24, 8
+
+    def fake_opt_hclust(*a, **kw):
+        all_labels = jnp.tile(
+            jnp.arange(ncand, dtype=jnp.int32)[:, None], (1, NC_pad)
+        )
+        return OptHclust(
+            labels=all_labels[0],
+            k=jnp.asarray(2, jnp.int32),
+            maxsil=jnp.asarray(0.9, jnp.float32),
+            msil=jnp.asarray([0.9, 0.2, 0.1, 0.8, 0.0], jnp.float32),
+            ch=jnp.zeros(ncand, jnp.float32),
+            oind=jnp.asarray(0, jnp.int32),
+            heights=jnp.zeros(NC_pad - 1, jnp.float32),
+            all_labels=all_labels,
+            valid=jnp.asarray([True, True, True, False, False]),
+        )
+
+    real = sm.opt_hclust
+    sm.opt_hclust = fake_opt_hclust
+    try:
+        res = sm.smetac(
+            jnp.asarray(np.random.default_rng(0).normal(
+                size=(NC_pad, 16)).astype(np.float32)),
+            jnp.ones(NC_pad, bool),
+            jnp.asarray(NC_pad), jnp.asarray(4),
+            # minN=3 keeps this static signature unique so the fake trace
+            # can't be reused by (or taken from) any other test's cache
+            minN=3, ncand=ncand, meta_nc_pad=meta_nc_pad, sil_thre=0.35,
+        )
+    finally:
+        sm.opt_hclust = real
+    assert int(res.oind) == 1, (
+        f"override picked candidate {int(res.oind)} — an invalid slot's "
+        f"msil outranked the valid runner-up"
+    )
+
+
 def test_fold_program_rnn_backend_matches_xla():
     """The rnn linkage backend (pure XLA, the TPU production path for
     n_pad > 1024) produces the same fold summary as the xla loop."""

@@ -62,12 +62,7 @@ def test_sharp_unlimited_multihost_single_process_identical():
     assert r1.N_pred_cluster == r2.N_pred_cluster
 
 
-def test_sharp_unlimited_two_process_identical(tmp_path):
-    """True 2-process jax.distributed exercise of the streaming path:
-    each process clusters a disjoint block slice, the summary all-gather
-    runs with process_count == 2 (gloo CPU collectives), and the
-    concatenated per-process label slices must equal the single-process
-    result exactly."""
+def _run_two_process(tmp_path, mode="basic"):
     import os
     import socket
     import subprocess
@@ -86,7 +81,8 @@ def test_sharp_unlimited_two_process_identical(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+            [sys.executable, worker, str(pid), str(port), str(tmp_path),
+             mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
@@ -99,7 +95,15 @@ def test_sharp_unlimited_two_process_identical(tmp_path):
             pr.kill()
             raise
         assert pr.returncode == 0, err[-3000:]
+    return np.load(tmp_path / "p0.npz"), np.load(tmp_path / "p1.npz")
 
+
+def test_sharp_unlimited_two_process_identical(tmp_path):
+    """True 2-process jax.distributed exercise of the streaming path:
+    each process clusters a disjoint block slice, the summary all-gather
+    runs with process_count == 2 (gloo CPU collectives), and the
+    concatenated per-process label slices must equal the single-process
+    result exactly."""
     import sys as _sys
 
     _sys.path.insert(0, "tests")
@@ -107,15 +111,41 @@ def test_sharp_unlimited_two_process_identical(tmp_path):
 
     from sharp_tpu import sharp_unlimited
 
+    p0, p1 = _run_two_process(tmp_path)
+
     X, _ = make_tpm_like(n_cells=500, n_genes=400, n_types=4, seed=5)
     blocks = [X[:200], X[200:350], X[350:]]
     ref = sharp_unlimited(
         blocks, rN_seed=3, ensize_K=3, base_ncells=200,
         partition_ncells=128, multihost=False,
     )
+    combined = np.concatenate([p0["labels"], p1["labels"]])
+    np.testing.assert_array_equal(ref.pred_clusters, combined)
+    assert int(p0["n"]) == int(p1["n"]) == ref.N_pred_cluster
 
-    p0 = np.load(tmp_path / "p0.npz")
-    p1 = np.load(tmp_path / "p1.npz")
+
+def test_sharp_unlimited_two_process_megacell_budget(tmp_path):
+    """2-process multihost with n_cells forced >= 1e6: smetac_range
+    widens the per-block search (minN -> 42 here), every block carries
+    > min(maxN_cluster, 40) clusters, and the all-gather summary budget
+    must cover it (streaming.py sizes it from the widened range — the
+    round-2 fix this test pins; sized from 40 it raises mid-stream)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from mh_worker import BUDGET_KW, budget_blocks
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp_unlimited
+
+    p0, p1 = _run_two_process(tmp_path, mode="budget")
+
+    ref = sharp_unlimited(
+        budget_blocks(make_tpm_like), multihost=False, **BUDGET_KW
+    )
+    # the widened range actually bit: the >= 1e6 minN floor (42) forces
+    # more clusters than the pre-fix budget of 40 could ship
+    assert ref.N_pred_cluster >= 42, ref.N_pred_cluster
     combined = np.concatenate([p0["labels"], p1["labels"]])
     np.testing.assert_array_equal(ref.pred_clusters, combined)
     assert int(p0["n"]) == int(p1["n"]) == ref.N_pred_cluster

@@ -88,6 +88,64 @@ def test_unlimited_fuse_batch_invariant(blocked_data):
     np.testing.assert_array_equal(r1.pred_clusters, r8.pred_clusters)
 
 
+def test_unlimited_sparse_feed_bit_identical(tmp_path, blocked_data):
+    """SBLK blocks fed as CSR triplets + on-device scatter densify must
+    produce labels bit-identical to the host-densified dense path (the
+    scatter places the exact same f32 values)."""
+    X, y, blocks = blocked_data
+    d = str(tmp_path / "sblk")
+    save_blocks(d, blocks, fmt="sblk")
+    kw = dict(rN_seed=19, ensize_K=4, partition_ncells=250, base_ncells=300,
+              resume=False)
+    r_dense = sharp_unlimited(d, sparse_feed=False, **kw)
+    r_sparse = sharp_unlimited(d, sparse_feed=True, **kw)
+    np.testing.assert_array_equal(r_dense.pred_clusters, r_sparse.pred_clusters)
+
+
+def test_sparse_block_roundtrip(tmp_path, blocked_data):
+    """SparseBlock.from_sblk / from_scipy / densify round-trips exactly."""
+    import scipy.sparse as sp
+
+    from sharp_tpu.io.native import write_sblk
+    from sharp_tpu.io.sparse import SparseBlock
+
+    X, _, blocks = blocked_data
+    b = blocks[1]
+    path = str(tmp_path / "b.sblk")
+    write_sblk(path, b)
+    sb = SparseBlock.from_sblk(path)
+    np.testing.assert_allclose(sb.densify(), b, rtol=1e-6)
+    sb2 = SparseBlock.from_scipy(sp.csr_matrix(b))
+    np.testing.assert_array_equal(sb2.densify(), sb.densify())
+
+
+def test_densify_folds_matches_host():
+    """Device scatter densify == host densify on padded fold groups."""
+    import scipy.sparse as sp
+
+    from sharp_tpu.io.sparse import (
+        SparseBlock, densify_folds, fold_triplets, nnz_pad,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.lognormal(1, 1, size=(300, 200)).astype(np.float32)
+    X[rng.uniform(size=X.shape) < 0.8] = 0.0
+    sb = SparseBlock.from_scipy(sp.csr_matrix(X))
+    starts, sizes, block_pad = [0, 120, 240], [120, 120, 60], 128
+    budget = nnz_pad(
+        max(int(sb.indptr[s + z] - sb.indptr[s])
+            for s, z in zip(starts, sizes)),
+        step=1024,
+    )
+    rows, cols, vals = fold_triplets(sb, starts, sizes, block_pad, budget)
+    dense = np.asarray(
+        densify_folds(rows, cols, vals, block_pad=block_pad, genes=200)
+    )
+    for gi, (s, z) in enumerate(zip(starts, sizes)):
+        np.testing.assert_array_equal(dense[gi, :z], X[s : s + z])
+        assert not dense[gi, z:].any()
+
+
 def test_unlimited_single_matrix_degrades():
     X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=3, seed=2)
     res = sharp_unlimited([X], rN_seed=4, ensize_K=4)

@@ -1,0 +1,133 @@
+"""On-device hardware lane (SHARP_TPU_TESTS=1 on a TPU host).
+
+Production-shape checks that previously lived only in ad-hoc scripts and
+bench-day gates — as pytest failures instead (VERDICT r2 item 7). The
+round-1 postmortem (TPU matmul precision corrupting every merge sequence
+while CPU tests stayed green) is the class of regression this lane
+catches. Mirrors the reference's run-on-real-data acceptance convention
+(reference README.md:104-116).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+    from sharp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    return jax
+
+
+def _cuts_of(merges, n_real, n_pad, ks):
+    """Cluster partition at each k via host replay of the merge sequence."""
+    lab = np.arange(n_pad)
+    out = {}
+    m = np.asarray(merges)
+    for t in range(n_pad - 1):
+        lab[lab == m[t, 1]] = m[t, 0]
+        k_now = n_real - t - 1
+        if k_now in ks:
+            out[k_now] = lab[:n_real].copy()
+    return out
+
+
+@pytest.mark.parametrize("n_pad,n_real", [(2048, 2000), (1024, 1000)])
+def test_linkage_backends_production_shapes(tpu_backend, n_pad, n_real):
+    """rnn f32/bf16 (and the serial Pallas kernel at <=1024) must produce
+    structurally valid merge sequences on device at the production pads,
+    with cuts matching the exact XLA reference loop."""
+    jax = tpu_backend
+    import jax.numpy as jnp
+
+    from sharp_tpu.analysis.ari import ari
+    from sharp_tpu.ops.distance import pearson_distance
+    from sharp_tpu.ops.linkage import (
+        validate_merge_sequence,
+        ward_linkage,
+        ward_linkage_rnn,
+    )
+
+    rng = np.random.default_rng(0)
+    types = rng.integers(0, 12, n_real)
+    cents = rng.normal(size=(12, 256)) * 3.0
+    X = np.zeros((n_pad, 256), np.float32)
+    X[:n_real] = cents[types] + rng.normal(size=(n_real, 256))
+    mask = np.arange(n_pad) < n_real
+    D = jax.block_until_ready(
+        pearson_distance(jnp.asarray(X), jnp.asarray(mask))
+    )
+
+    ref = jax.block_until_ready(ward_linkage(D))
+    assert not validate_merge_sequence(ref.merges, ref.heights, n_real, n_pad)
+    ref_cuts = _cuts_of(ref.merges, n_real, n_pad, {2, 5, 12, 20})
+
+    for tag, st in [("rnn_f32", None), ("rnn_bf16", jnp.bfloat16)]:
+        res = jax.block_until_ready(ward_linkage_rnn(D, store_dtype=st))
+        errs = validate_merge_sequence(res.merges, res.heights, n_real, n_pad)
+        assert not errs, f"{tag}: {errs}"
+        cuts = _cuts_of(res.merges, n_real, n_pad, {2, 5, 12, 20})
+        for k in (2, 5, 12, 20):
+            a = ari(ref_cuts[k], cuts[k])
+            assert a > 0.999, f"{tag} cut k={k} diverges from xla (ARI {a})"
+
+    if n_pad <= 1024:
+        from sharp_tpu.ops.linkage_pallas import ward_linkage_pallas
+
+        for tag, st in [("pallas_f32", jnp.float32),
+                        ("pallas_bf16", jnp.bfloat16)]:
+            res = jax.block_until_ready(ward_linkage_pallas(D, store_dtype=st))
+            errs = validate_merge_sequence(
+                res.merges, res.heights, n_real, n_pad
+            )
+            assert not errs, f"{tag}: {errs}"
+        resf = jax.block_until_ready(ward_linkage_pallas(D))
+        assert np.array_equal(np.asarray(resf.merges), np.asarray(ref.merges)), \
+            "pallas f32 merges not bit-identical to the xla reference"
+
+
+def test_mini_end_to_end_sharp(tpu_backend):
+    """sharp() large path at n=5000 on the real chip with an ARI gate."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from sklearn.metrics import adjusted_rand_score
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp
+
+    X, y = make_tpm_like(n_cells=5000, n_genes=2000, n_types=8, seed=13)
+    res = sharp(
+        X, rN_seed=7, ensize_K=5, exp_type="TPM", forview=False,
+        dtype_compute="bfloat16",
+    )
+    ari = adjusted_rand_score(y, res.pred_clusters)
+    assert ari >= 0.9, f"on-device end-to-end ARI {ari:.4f}"
+
+
+def test_sparse_device_feed_bit_identical(tpu_backend, tmp_path):
+    """CSR triplet transfer + on-device scatter densify == dense feed,
+    on the real chip (the production streaming input path)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp_unlimited
+    from sharp_tpu.io.blocks import save_blocks
+
+    X, y = make_tpm_like(n_cells=1000, n_genes=600, n_types=5, seed=41)
+    d = str(tmp_path / "sblk")
+    save_blocks(d, [X[:400], X[400:700], X[700:]], fmt="sblk")
+    kw = dict(rN_seed=19, ensize_K=4, partition_ncells=250, base_ncells=300,
+              dtype_compute="bfloat16", resume=False)
+    r_dense = sharp_unlimited(d, sparse_feed=False, **kw)
+    r_sparse = sharp_unlimited(d, sparse_feed=True, **kw)
+    np.testing.assert_array_equal(r_dense.pred_clusters, r_sparse.pred_clusters)
