@@ -217,13 +217,17 @@ def main():
         return jnp.stack(Xs), ys, jnp.stack(ms)
 
     # --- warmup / compile ------------------------------------------------
+    def sync(o):
+        """Force completion via a real readback (see timing note below)."""
+        leaf = jax.tree.leaves(o)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        return o
+
     g_sizes0 = [sz for _, sz in fold_plan[:GROUP]]
     g_sizes0 += [g_sizes0[0]] * (GROUP - len(g_sizes0))
     Xg, ys, ms = gen_group(0, g_sizes0)
     t0 = time.time()
-    _ = jax.block_until_ready(
-        run_group_j(Xg, ms, jnp.asarray(g_sizes0, jnp.int32))
-    )
+    sync(run_group_j(Xg, ms, jnp.asarray(g_sizes0, jnp.int32)))
     compile_s = time.time() - t0
 
     # --- optional per-stage breakdown on one group -----------------------
@@ -232,11 +236,11 @@ def main():
         from sharp_tpu.ops.linkage import ward_linkage_rnn
 
         def timed(f, *a, r=3):
-            jax.block_until_ready(f(*a))
+            sync(f(*a))
             t0 = time.time()
             for _ in range(r):
                 out = f(*a)
-            jax.block_until_ready(out)
+            sync(out)
             return (time.time() - t0) / r
 
         rp_j = jax.jit(jax.vmap(
@@ -283,11 +287,16 @@ def main():
         pad_sizes = gsizes + [gsizes[0]] * (GROUP - G)
         tg = time.time()
         Xg, ys, ms = gen_group(g0, pad_sizes)
-        Xg = jax.block_until_ready(Xg)
+        # sync via a data pull: on this environment's remote-TPU backend
+        # block_until_ready under-waits on large buffers (measured 2x),
+        # so every timed bucket closes with an actual element readback
+        np.asarray(Xg[0, 0, :8])
         gen_s += time.time() - tg
         t0 = time.time()
         out = run_group_j(Xg, ms, jnp.asarray(pad_sizes, jnp.int32))
-        out = jax.block_until_ready(out)
+        # one element of one output buffer: the XLA program completes
+        # atomically, so this waits for the entire fold program
+        np.asarray(out.n_meta)
         fold_pass_s += time.time() - t0
         for gi, (bi, sz) in enumerate(plan):
             s = jax.tree.map(lambda a: a[gi], out)

@@ -76,8 +76,9 @@ class SharpConfig:
     # "auto" | "xla" | "pallas" | "pallas_bf16" | "rnn" | "rnn_bf16":
     # auto resolves per problem size (ops/linkage.py:resolve_linkage_backend)
     # — on TPU the f32 serial Pallas kernel for 128-aligned n_pad <= 1024,
-    # the reciprocal-NN-rounds ladder ("rnn", f32) above, XLA loops on CPU
-    # and for non-ward hmethods
+    # the reciprocal-NN-rounds ladder above (bf16 store / f32 arithmetic
+    # for n_pad > 1024; "rnn" forces exact f32), XLA loops on CPU and for
+    # non-ward hmethods
     linkage_backend: str = "auto"
     block_pad: int = 0             # static padded block size (cells per block)
     nc_pad: int = 64               # padded per-block cluster one-hot width (>= maxN+1)

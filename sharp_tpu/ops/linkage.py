@@ -85,11 +85,16 @@ def resolve_linkage_backend(
 
     On TPU: the serial single-kernel Pallas loop in exact f32 while the
     matrix fits VMEM; above that, reciprocal-NN rounds (`ward_linkage_rnn`)
-    in f32 — measured on-device at n=2048/K=5 the bf16-store variant is no
-    faster, and f32 storage keeps the merges exactly equal to the serial
-    reference loop (bf16 rounding flips near-tie merge orders). The XLA
-    loops elsewhere (CPU tests, non-ward methods — the fast backends
-    implement ward.D only).
+    with bf16 matrix STORAGE (LW arithmetic stays f32) — measured with
+    honest readback sync at n=2048/K=5 it is 1.3x the f32 ladder
+    (29.3 vs 38.2 ms/fold; the r2 "no faster" finding was an artifact of
+    block_until_ready under-waiting on this backend, see CLAUDE.md).
+    bf16 store rounding can flip near-tie merge orders vs the serial
+    reference — structure stays valid (bench parity_precheck gates it on
+    device) and cuts are identical on tie-free data (test-pinned); use
+    linkage_backend="rnn" for exact serial-order parity. The XLA loops
+    elsewhere (CPU tests, non-ward methods — the fast backends implement
+    ward.D only).
 
     Only "auto" is downgraded for non-ward hmethods; an explicitly
     requested fast backend combined with a non-ward hmethod is an error
@@ -103,7 +108,9 @@ def resolve_linkage_backend(
             # the serial Pallas kernel's VMEM slicing needs lane-aligned
             # problem sizes (Mosaic: slices along the tiled minor dim must
             # be multiples of 128); misaligned pads take the rnn ladder
-            return "pallas" if n_pad <= 1024 and n_pad % 128 == 0 else "rnn"
+            if n_pad <= 1024 and n_pad % 128 == 0:
+                return "pallas"
+            return "rnn_bf16" if n_pad > 1024 else "rnn"
         return "xla"
     if hmethod != "ward.D" and backend != "xla":
         raise ValueError(

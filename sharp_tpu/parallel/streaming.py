@@ -125,6 +125,23 @@ def global_block_fuse(summaries, cfg: SharpConfig):
       order     — meta labels in decreasing size order
       meta_sizes— cell count per meta label
     """
+    if len(summaries) == 1:
+        # the block consensus IS the final clustering — re-clustering a
+        # single block's ~k centroids (one per cluster, near-equidistant)
+        # has no replica structure for sMetaC and collapses; the
+        # reference degrades single-block inputs to plain SHARP for the
+        # same reason (R/SHARP_unlimited.R:39-51)
+        counts = summaries[0][1]
+        C = len(counts)
+        tf = np.arange(C, dtype=np.int32)
+        offsets = np.asarray([0, C])
+        meta_sizes = counts.astype(np.float64)
+        present = np.nonzero(meta_sizes > 0)[0]
+        order = present[np.argsort(-meta_sizes[present], kind="stable")]
+        remap = np.zeros(max(C, 1), np.int32)
+        remap[order] = np.arange(1, len(order) + 1)
+        return tf, remap, offsets, order, meta_sizes
+
     all_cents = np.concatenate([c for c, _ in summaries], axis=0)
     all_counts = np.concatenate([n for _, n in summaries])
     NC = all_cents.shape[0]

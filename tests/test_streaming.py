@@ -150,3 +150,21 @@ def test_unlimited_single_matrix_degrades():
     X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=3, seed=2)
     res = sharp_unlimited([X], rN_seed=4, ensize_K=4)
     assert len(res.pred_clusters) == 200
+
+
+def test_unlimited_single_block_directory_keeps_consensus(tmp_path):
+    """A directory holding ONE block must use the block consensus as the
+    final clustering instead of re-clustering its own centroids — one
+    near-equidistant centroid per cluster gives sMetaC nothing to fuse
+    and (pre-fix) collapsed 5 well-separated types to 2 clusters. The
+    reference degrades single-block inputs for the same reason
+    (R/SHARP_unlimited.R:39-51)."""
+    X, y = make_tpm_like(n_cells=900, n_genes=600, n_types=5, seed=17)
+    d = str(tmp_path / "oneblock")
+    save_blocks(d, [X], fmt="sblk")
+    res = sharp_unlimited(
+        d, rN_seed=19, ensize_K=4, partition_ncells=250, base_ncells=300
+    )
+    ari = adjusted_rand_score(y, res.pred_clusters)
+    assert ari >= 0.9, f"single-block directory ARI {ari:.4f}"
+    assert res.N_pred_cluster >= 4
