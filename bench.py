@@ -27,8 +27,8 @@ SHARP_BENCH_GENES, SHARP_BENCH_TYPES (38 at >= 1e6 cells — the reference's
 1.3M dataset is mouse organogenesis with 38 types — else 12),
 SHARP_BENCH_K, SHARP_BENCH_P, SHARP_BENCH_FOLD, SHARP_BENCH_MIN_ARI,
 SHARP_BENCH_QUICK=1 (65,536-cell single-block configuration),
-SHARP_BENCH_PROFILE=<dir> (jax profiler trace), SHARP_BENCH_STAGES=1
-(per-stage second breakdown on one fold group), SHARP_BENCH_API=0 to skip
+SHARP_BENCH_PROFILE=<dir> (jax profiler trace), SHARP_BENCH_STAGES=0
+to skip the per-stage breakdown (default ON), SHARP_BENCH_API=0 to skip
 the shipped-API (sharp_unlimited over SBLK files) measurement,
 SHARP_BENCH_API_NNZ (2048 nonzero genes/cell in the on-disk dataset),
 SHARP_BENCH_API_DIR (dataset cache root).
@@ -193,7 +193,9 @@ def main():
         jax.random.PRNGKey(7), K, n_genes, p, dtype=jnp.bfloat16
     )
 
-    GROUP = int(os.environ.get("SHARP_BENCH_GROUP", 4))
+    # 16 folds/call: the linkage rounds are dispatch-latency-bound, so a
+    # bigger vmapped batch amortizes them (19.0 vs 29.3 ms/fold at 4)
+    GROUP = int(os.environ.get("SHARP_BENCH_GROUP", 16))
     GROUP = min(GROUP, T)
 
     def run_group(Xg, masks, nrs):
@@ -230,9 +232,11 @@ def main():
     sync(run_group_j(Xg, ms, jnp.asarray(g_sizes0, jnp.int32)))
     compile_s = time.time() - t0
 
-    # --- optional per-stage breakdown on one group -----------------------
+    # --- per-stage breakdown on one group (default ON so every BENCH_r*
+    # carries the profile; SHARP_BENCH_STAGES=0 to skip the extra
+    # compiles) ----------------------------------------------------------
     stages = {}
-    if os.environ.get("SHARP_BENCH_STAGES") == "1":
+    if os.environ.get("SHARP_BENCH_STAGES", "1") == "1":
         from sharp_tpu.ops.linkage import ward_linkage_rnn
 
         def timed(f, *a, r=3):

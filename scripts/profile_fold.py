@@ -21,8 +21,11 @@ def main():
     from sharp_tpu.core.fold import fold_program, fold_static_args
     from sharp_tpu.ops.rp import ensemble_rp_matrix
 
+    import os
+
     n_cells, n_genes, K, p = 1306127, 27998, 5, 256
-    GROUP, B, n_types = 4, 2048, 38
+    GROUP = int(os.environ.get("SHARP_PROFILE_GROUP", 4))
+    B, n_types = 2048, 38
     cfg = resolve_config(
         n_cells, n_genes, ensize_K=K, reduced_ndim=p,
         partition_ncells=2000, rN_seed=7, dtype_compute="bfloat16",

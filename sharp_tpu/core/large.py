@@ -421,7 +421,7 @@ def sharp_large(
 
             fold_results = process_folds_grouped(
                 X[perm], sizes, block_pad, R_all, cfg, logf,
-                group=min(8, T),
+                group=min(16, T),
             )
         else:
             fold_results = [

@@ -459,11 +459,11 @@ def ward_linkage_deferred(
 
 @functools.partial(
     jax.jit, static_argnames=("pair_cap", "store_dtype", "compact_n",
-                              "compact_cap")
+                              "compact_cap", "tail")
 )
 def ward_linkage_rnn(
     D: jax.Array, pair_cap: int = 128, store_dtype=None,
-    compact_n: int = 256, compact_cap: int = 32,
+    compact_n: int = 256, compact_cap: int = 32, tail: str = "auto",
 ) -> LinkageResult:
     """ward.D agglomeration by reciprocal-nearest-neighbor rounds — the
     data-parallel formulation.
@@ -718,12 +718,57 @@ def ward_linkage_rnn(
         state = compact_to(state, lvl, nxt)
         lvl = nxt
 
-    def cond2(c):
-        return (c[8] < n - 1) & (c[7] < n)
+    # --- tail: drain the compacted subproblem -----------------------------
+    # "pallas" (auto on TPU): ONE batched-step kernel replaces ~37 XLA
+    # while-rounds at ~1.7 ms fixed dispatch cost each (measured,
+    # scripts/tune_linkage_rnn.py) — the tail was ~2/3 of the ladder's
+    # wall clock. "xla": the mutual-NN while loop (CPU, and the semantic
+    # reference for tests). "pallas_interpret": kernel in interpreter
+    # mode (CPU unit tests).
+    # Mosaic rejects lane dims not aligned to the 128 tiling (the same
+    # constraint that keeps misaligned problems off the serial Pallas
+    # kernel, e.g. allc_pad=192 at K=4) — misaligned tail sizes keep the
+    # XLA while loop
+    if tail == "auto":
+        tail = (
+            "pallas"
+            if jax.default_backend() == "tpu" and lvl % 128 == 0
+            else "xla"
+        )
+    if tail in ("pallas", "pallas_interpret"):
+        from sharp_tpu.ops.linkage_pallas import rnn_tail_pallas
 
-    state = jax.lax.while_loop(cond2, make_body(lvl, P2), state)
+        D1, aliveb, sizes1, gidx1, lasth1, merges, heights, _, cnt = state
+        mi, mj, hh = rnn_tail_pallas(
+            D1, aliveb.astype(dt), sizes1, gidx1, lasth1,
+            interpret=(tail == "pallas_interpret"),
+        )
+        Cn = D1.shape[-1]
+        n_alive = jnp.sum(aliveb.astype(jnp.int32))
+        tv = jnp.arange(Cn) < (n_alive - 1)
+        pos = jnp.arange(mbuf)
+        M = ((pos[:, None] - cnt) == jnp.arange(Cn)[None, :]) & tv[None, :]
+        row_hit = jnp.any(M, axis=1)
+        ents = jnp.stack(
+            [jnp.where(tv, mi, 0), jnp.where(tv, mj, 0)], axis=1
+        )                                                   # (Cn, 2)
+        new_ents = jnp.sum(
+            jnp.where(M[:, :, None], ents[None, :, :], 0), axis=1
+        )
+        merges = jnp.where(row_hit[:, None], new_ents, merges)
+        new_h = jnp.sum(
+            jnp.where(M, jnp.where(tv, hh, 0.0)[None, :], 0.0), axis=1
+        )
+        heights = jnp.where(row_hit, new_h, heights)
+        merges, heights = merges[: n - 1], heights[: n - 1]
+    else:
 
-    merges, heights = state[5][: n - 1], state[6][: n - 1]
+        def cond2(c):
+            return (c[8] < n - 1) & (c[7] < n)
+
+        state = jax.lax.while_loop(cond2, make_body(lvl, P2), state)
+        merges, heights = state[5][: n - 1], state[6][: n - 1]
+
     order = jnp.argsort(heights, stable=True)
     return LinkageResult(merges=merges[order], heights=heights[order])
 

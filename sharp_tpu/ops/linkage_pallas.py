@@ -450,6 +450,231 @@ def _get_call(interpret: bool, variant: str = "deferred"):
     return _CALLS[key]
 
 
+def _rnn_tail_kernel(
+    D_any, alive_ref, sizes_ref, gidx_ref, lasth_ref,
+    mi_ref, mj_ref, hh_ref,
+    Dv, act, sz, lh, sem,
+):
+    """Batched serial Ward tail: ALL batch lanes advance one merge per step.
+
+    The reciprocal-NN ladder's few-pairs-per-round tail costs ~1.7 ms of
+    fixed dispatch overhead per XLA round and needs ~37 rounds to drain a
+    256-cluster subproblem (measured; scripts/tune_linkage_rnn.py). Here
+    the whole tail is ONE kernel: every step finds each lane's global
+    minimum pair with masked VPU passes over the (L, Cn, Cn) VMEM-resident
+    matrices — no per-lane dynamic slicing, so the L lanes are genuinely
+    data-parallel within a step — and runs the full Cn - 1 steps; invalid
+    trailing steps (lane already drained) record garbage that the caller
+    masks by its known merge count.
+
+    Semantics: the strict serial full-argmin order of `ward_linkage` on
+    the compacted subproblem (the while-loop tail merges mutual-NN pairs
+    with a cross-pair fix; both orders agree on tie-free data, and this
+    one IS the serial association). Heights are clamped to the merging
+    clusters' previous recorded heights (`lasth`), matching the ladder's
+    discipline for the post-hoc stable height sort.
+    """
+    L, Cn, _ = Dv.shape
+    store_dt = Dv.dtype
+    g = pl.program_id(0)
+
+    dma = pltpu.make_async_copy(D_any.at[pl.ds(g * L, L)], Dv, sem)
+    dma.start()
+    dma.wait()
+
+    act[:, :] = alive_ref[:, :]
+    sz[:, :] = sizes_ref[:, :]
+    lh[:, :] = lasth_ref[:, :]
+    mi_ref[:, :] = jnp.zeros((L, Cn), jnp.int32)
+    mj_ref[:, :] = jnp.zeros((L, Cn), jnp.int32)
+    hh_ref[:, :] = jnp.zeros((L, Cn), jnp.float32)
+
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (L, Cn, Cn), 1)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (L, Cn, Cn), 2)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (L, Cn), 1)
+
+    def step(t, _):
+        Df = Dv[:, :, :].astype(jnp.float32)
+        rowmin = jnp.min(Df, axis=2)                        # (L, Cn)
+        m = jnp.min(rowmin, axis=1, keepdims=True)          # (L, 1)
+        # first-index argmin via equality select (row-major tie order,
+        # matching ward_linkage's flat argmin)
+        i0 = jnp.min(
+            jnp.where(rowmin == m, laneC, Cn), axis=1, keepdims=True
+        )                                                   # (L, 1)
+        rowi = jnp.sum(
+            jnp.where(row3 == i0[:, :, None], Df, 0.0), axis=1
+        )                                                   # (L, Cn)
+        j0 = jnp.min(
+            jnp.where((rowi == m) & (laneC != i0), laneC, Cn),
+            axis=1, keepdims=True,
+        )
+        i = jnp.minimum(i0, j0)
+        j = jnp.maximum(i0, j0)
+        # guard degenerate lanes (all-BIG matrix: i0 == j0 == Cn)
+        i = jnp.minimum(i, Cn - 1)
+        j = jnp.minimum(j, Cn - 1)
+        h = m
+
+        ni = jnp.sum(jnp.where(laneC == i, sz[:, :], 0.0), axis=1,
+                     keepdims=True)
+        nj = jnp.sum(jnp.where(laneC == j, sz[:, :], 0.0), axis=1,
+                     keepdims=True)
+        dik = jnp.sum(jnp.where(row3 == i[:, :, None], Df, 0.0), axis=1)
+        djk = jnp.sum(jnp.where(row3 == j[:, :, None], Df, 0.0), axis=1)
+        nk = sz[:, :]
+        formula = ((ni + nk) * dik + (nj + nk) * djk - nk * h) / (
+            ni + nj + nk
+        )
+        valid = (act[:, :] > 0.5) & (laneC != i) & (laneC != j)
+        # row/col writes in f32 (Mosaic: minor-dim insertion needs 32-bit
+        # types); the bf16->f32->bf16 round-trip of untouched entries is
+        # exact, and newrow store-rounds exactly as a direct bf16 write
+        newrow = jnp.where(valid, formula, BIG)
+
+        ib = i[:, :, None]
+        jb = j[:, :, None]
+        Dnew = jnp.where(
+            row3 == ib, newrow[:, None, :],
+            jnp.where(col3 == ib, newrow[:, :, None], Df),
+        )
+        Dv[:, :, :] = jnp.where(
+            (row3 == jb) | (col3 == jb), BIG, Dnew
+        ).astype(store_dt)
+
+        act[:, :] = jnp.where(laneC == j, 0.0, act[:, :])
+        sz[:, :] = jnp.where(laneC == i, ni + nj, sz[:, :])
+        lhi = jnp.sum(jnp.where(laneC == i, lh[:, :], 0.0), axis=1,
+                      keepdims=True)
+        lhj = jnp.sum(jnp.where(laneC == j, lh[:, :], 0.0), axis=1,
+                      keepdims=True)
+        hrec = jnp.maximum(h, jnp.maximum(lhi, lhj))
+        lh[:, :] = jnp.where(laneC == i, hrec, lh[:, :])
+
+        gi = jnp.sum(jnp.where(laneC == i, gidx_ref[:, :], 0), axis=1,
+                     keepdims=True)
+        gj = jnp.sum(jnp.where(laneC == j, gidx_ref[:, :], 0), axis=1,
+                     keepdims=True)
+        att = laneC == t
+        mi_ref[:, :] = jnp.where(att, gi, mi_ref[:, :])
+        mj_ref[:, :] = jnp.where(att, gj, mj_ref[:, :])
+        hh_ref[:, :] = jnp.where(att, hrec, hh_ref[:, :])
+        return 0
+
+    jax.lax.fori_loop(0, Cn - 1, step, 0)
+
+
+# lanes per grid step: bounds VMEM at ~LCHUNK * Cn^2 * (dtype + f32
+# intermediates) — 16 * 256^2 keeps the working set ~8 MB, safely inside
+# one core's VMEM (an overflowing scratch HANGS the Mosaic compile on
+# this toolchain rather than erroring)
+_TAIL_LCHUNK = 16
+
+
+def _rnn_tail_invoke(D_st, alive, sizes, gidx, lasth, interpret: bool):
+    L, Cn, _ = D_st.shape
+    LC = min(_TAIL_LCHUNK, L)
+    if L % LC:  # pad to a whole number of chunks (dead lanes: alive=0)
+        Lp = ((L + LC - 1) // LC) * LC
+        D_st = jnp.concatenate(
+            [D_st, jnp.zeros((Lp - L, Cn, Cn), D_st.dtype)]
+        )
+        alive = jnp.concatenate([alive, jnp.zeros((Lp - L, Cn), alive.dtype)])
+        sizes = jnp.concatenate([sizes, jnp.ones((Lp - L, Cn), sizes.dtype)])
+        gidx = jnp.concatenate([gidx, jnp.zeros((Lp - L, Cn), gidx.dtype)])
+        lasth = jnp.concatenate([lasth, jnp.zeros((Lp - L, Cn), lasth.dtype)])
+    else:
+        Lp = L
+    mi, mj, hh = pl.pallas_call(
+        _rnn_tail_kernel,
+        grid=(Lp // LC,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Cn), jnp.int32),
+            jax.ShapeDtypeStruct((Lp, Cn), jnp.int32),
+            jax.ShapeDtypeStruct((Lp, Cn), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+            pl.BlockSpec((LC, Cn), lambda g: (g, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((LC, Cn, Cn), D_st.dtype),
+            pltpu.VMEM((LC, Cn), jnp.float32),   # act
+            pltpu.VMEM((LC, Cn), jnp.float32),   # sizes
+            pltpu.VMEM((LC, Cn), jnp.float32),   # lasth
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(D_st, alive, sizes, gidx, lasth)
+    return mi[:L], mj[:L], hh[:L]
+
+
+_TAIL_CALLS = {}
+
+
+def _get_tail_call(interpret: bool):
+    """custom_vmap wrapper: batch axes fold into the kernel's lane axis L."""
+    if interpret not in _TAIL_CALLS:
+
+        @jax.custom_batching.custom_vmap
+        def call(D_st, alive, sizes, gidx, lasth):
+            return _rnn_tail_invoke(
+                D_st, alive, sizes, gidx, lasth, interpret
+            )
+
+        @call.def_vmap
+        def _rule(axis_size, in_batched, D_st, alive, sizes, gidx, lasth):
+            args = []
+            for a, b in zip((D_st, alive, sizes, gidx, lasth), in_batched):
+                if not b:
+                    a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+                args.append(a.reshape((-1,) + a.shape[2:]))
+            B = axis_size
+            mi, mj, hh = call(*args)
+            out = tuple(
+                o.reshape((B, -1) + o.shape[1:]) for o in (mi, mj, hh)
+            )
+            return out, (True, True, True)
+
+        _TAIL_CALLS[interpret] = call
+    return _TAIL_CALLS[interpret]
+
+
+def rnn_tail_pallas(
+    D_st: jax.Array,     # (Cn, Cn) compacted matrix, storage dtype
+    alive: jax.Array,    # (Cn,) f32 1/0
+    sizes: jax.Array,    # (Cn,) f32
+    gidx: jax.Array,     # (Cn,) int32 global cluster index per slot
+    lasth: jax.Array,    # (Cn,) f32 running recorded height per cluster
+    interpret: bool = False,
+):
+    """Serial-drain the ladder's compacted subproblem in one kernel.
+
+    Returns (mi, mj, hh): (Cn,) lane vectors whose entry t is the t-th
+    serial merge (global indices, clamped height); entries at
+    t >= n_alive - 1 are garbage the caller must mask.
+    """
+    mi, mj, hh = _get_tail_call(interpret)(
+        D_st[None],
+        alive.astype(jnp.float32)[None],
+        sizes.astype(jnp.float32)[None],
+        gidx.astype(jnp.int32)[None],
+        lasth.astype(jnp.float32)[None],
+    )
+    return mi[0], mj[0], hh[0]
+
+
 def _cutree_kernel(minN: int, ncand: int, ncand_pad: int):
     def kernel(nr_ref, m_ref, snaps_ref):
         n = m_ref.shape[2]

@@ -43,13 +43,15 @@ def process_folds_grouped(
     R_all: jax.Array,
     cfg: SharpConfig,
     logf: bool,
-    group: int = 8,
+    group: int = 16,
 ) -> List[dict]:
     """Single-device fold pass, `group` folds per jit call.
 
-    The linkage loop is latency-bound per step, so batching folds into the
-    vmapped fold program amortizes the sequential-step overhead across
-    group x K ensemble members.
+    The linkage rounds are dispatch-latency-bound (measured: 20 -> 40
+    vmapped lanes adds only ~15% wall time, scripts/tune_linkage_rnn.py),
+    so batching folds into the vmapped fold program amortizes the
+    per-round overhead across group x K ensemble members: 29.3 -> 19.0
+    ms/fold going from group 4 to 16 at the production shape.
 
     With a SparseBlock input, each group ships CSR triplets and scatters
     them into the dense padded folds ON DEVICE (io/sparse.densify_folds)

@@ -85,7 +85,7 @@ def _fold_pass(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None):
     return process_folds_grouped(
         Xb if sparse else np.asarray(Xb, np.float32),
         sizes, block_pad, R_all, cfg, logf,
-        group=min(8, len(sizes)),
+        group=min(16, len(sizes)),
     )
 
 

@@ -335,6 +335,32 @@ class TestRNNLinkage:
             rtol=1e-5,
         )
 
+    @pytest.mark.parametrize("n,nreal", [(128, 128), (192, 160), (320, 300)])
+    def test_pallas_tail_matches_xla_tail(self, n, nreal):
+        """The batched-step Pallas tail (TPU production path, interpreted
+        here) must produce the same cuts as the XLA while-loop tail —
+        including misaligned sizes (192) and ladder+compaction (320)."""
+        from sharp_tpu.ops.linkage import (
+            validate_merge_sequence,
+            ward_linkage_rnn,
+        )
+
+        rng = np.random.default_rng(11)
+        X = np.zeros((n, 24), np.float32)
+        X[:nreal] = rng.normal(size=(nreal, 24))
+        mask = jnp.asarray(np.arange(n) < nreal)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r1 = ward_linkage_rnn(D, tail="xla")
+        r2 = ward_linkage_rnn(D, tail="pallas_interpret")
+        assert not validate_merge_sequence(r2.merges, r2.heights, nreal, n)
+        c1 = cutree_multi(r1.merges, jnp.asarray(nreal), mask,
+                          jnp.asarray(40), minN=2, ncand=20, nc_pad=48)
+        c2 = cutree_multi(r2.merges, jnp.asarray(nreal), mask,
+                          jnp.asarray(40), minN=2, ncand=20, nc_pad=48)
+        np.testing.assert_array_equal(
+            np.asarray(c1.labels), np.asarray(c2.labels)
+        )
+
     def test_exact_ties_duplicates(self):
         """Duplicate points create exact zero-distance ties; the stable
         height sort must stay topological and the clustering correct."""
