@@ -42,6 +42,52 @@ import time
 import numpy as np
 
 
+def _bench_env():
+    """Shared workload parameters (compute + API children must agree)."""
+    quick = os.environ.get("SHARP_BENCH_QUICK") == "1"
+    n_cells = int(
+        os.environ.get("SHARP_BENCH_CELLS", 65536 if quick else 1306127)
+    )
+    n_genes = int(os.environ.get("SHARP_BENCH_GENES", 27998))
+    default_types = 12 if n_cells < 1e6 else 38
+    n_types = int(os.environ.get("SHARP_BENCH_TYPES", default_types))
+    K = int(os.environ.get("SHARP_BENCH_K", 5))
+    p = int(os.environ.get("SHARP_BENCH_P", 256))
+    fold = int(os.environ.get("SHARP_BENCH_FOLD", 2000))
+    block_cells = int(os.environ.get("SHARP_BENCH_BLOCK", 50000))
+    min_ari = float(
+        os.environ.get(
+            "SHARP_BENCH_MIN_ARI", 0.95 if n_cells < 1e6 else 0.80
+        )
+    )
+    # block partition (reference: 25 x 50,000 + 56,127, README.md:289)
+    blocks = []
+    left = n_cells
+    while left > 0:
+        take = block_cells if left >= 2 * block_cells else left
+        blocks.append(take)
+        left -= take
+    return dict(
+        n_cells=n_cells, n_genes=n_genes, n_types=n_types, K=K, p=p,
+        fold=fold, min_ari=min_ari, blocks=blocks,
+    )
+
+
+def _free(*objs):
+    """Release device buffers NOW (don't wait for GC): the round-3 bench
+    OOMed because multi-GB compute-path buffers were still resident when
+    later stages allocated (VERDICT.md r03)."""
+    import jax
+
+    for o in objs:
+        for leaf in jax.tree.leaves(o):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+
+
 def parity_precheck(pearson_distance, B):
     """On-device structural validation of the fast linkage backends.
 
@@ -90,22 +136,12 @@ def parity_precheck(pearson_distance, B):
 
 
 def main():
-    quick = os.environ.get("SHARP_BENCH_QUICK") == "1"
-    n_cells = int(
-        os.environ.get("SHARP_BENCH_CELLS", 65536 if quick else 1306127)
+    env = _bench_env()
+    n_cells, n_genes, n_types = (
+        env["n_cells"], env["n_genes"], env["n_types"]
     )
-    n_genes = int(os.environ.get("SHARP_BENCH_GENES", 27998))
-    default_types = 12 if n_cells < 1e6 else 38
-    n_types = int(os.environ.get("SHARP_BENCH_TYPES", default_types))
-    K = int(os.environ.get("SHARP_BENCH_K", 5))
-    p = int(os.environ.get("SHARP_BENCH_P", 256))
-    fold = int(os.environ.get("SHARP_BENCH_FOLD", 2000))
-    block_cells = int(os.environ.get("SHARP_BENCH_BLOCK", 50000))
-    min_ari = float(
-        os.environ.get(
-            "SHARP_BENCH_MIN_ARI", 0.95 if n_cells < 1e6 else 0.80
-        )
-    )
+    K, p, fold, min_ari = env["K"], env["p"], env["fold"], env["min_ari"]
+    blocks = env["blocks"]
 
     import jax
 
@@ -130,13 +166,6 @@ def main():
         forview=False,
     )
 
-    # block partition (reference: 25 x 50,000 + 56,127, README.md:289)
-    blocks = []
-    left = n_cells
-    while left > 0:
-        take = block_cells if left >= 2 * block_cells else left
-        blocks.append(take)
-        left -= take
     # (block_id, fold_size) list, global fold order
     fold_plan = []
     for bi, bn in enumerate(blocks):
@@ -270,6 +299,10 @@ def main():
             ),
             "per_group_folds": GROUP,
         }
+        # the breakdown's intermediates (~1.5 GB at production shapes)
+        # must not stay resident through the timed run
+        _free(proj, D4)
+        del proj, D4, rp_j, dist_j, link_j
 
     # --- timed run -------------------------------------------------------
     # synthetic generation is NOT part of the measured pipeline: each
@@ -308,6 +341,10 @@ def main():
             block_frs[bi].append(summary_to_host(s, sz, forview=False))
     if profile_dir:
         jax.profiler.stop_trace()
+    # everything downstream works on host summaries — release the multi-GB
+    # fold-pass device buffers before the fuse programs compile/run
+    _free(Xg, ms, out)
+    del Xg, ms, out
 
     # --- per-block sMetaC fuses, batched (one vmapped smetac per shape
     # bucket; the r02 bench paid a full XLA recompile inside the timed
@@ -378,20 +415,6 @@ def main():
 
     gate_msgs = quality_gates("compute", float(score), int(n_final))
 
-    # --- API path: the SHIPPED sharp_unlimited over SBLK blocks on disk --
-    # (reference runs 1.3M cells out-of-core from RDS files,
-    # R/SHARP_unlimited3.R:103-131 — this measures OUR production path,
-    # I/O, prefetch, sparse device feed, manifest writes and all)
-    api_detail = None
-    if os.environ.get("SHARP_BENCH_API", "1") == "1":
-        api_detail, api_msgs = api_bench(
-            blocks, n_genes, n_types, K, p, fold, min_ari, ari
-        )
-        gate_msgs += api_msgs
-        api_detail["cells_per_s_vs_compute"] = round(
-            api_detail["cells_per_s"] / (n_cells / total_s), 3
-        )
-
     cells_per_s = n_cells / total_s
     baseline = 479 / 9.771  # reference Wang-pancreas rate (cells/s)
     out = {
@@ -421,7 +444,6 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             **({"stages": stages} if stages else {}),
-            **({"api_path": api_detail} if api_detail else {}),
         },
     }
     print(json.dumps(out))
@@ -566,50 +588,158 @@ def api_bench(blocks, n_genes, n_types, K, p, fold, min_ari, ari):
     return detail, msgs
 
 
-def _watchdog_main():
-    """Run the measurement in a child process with a timeout + retries.
+def main_api():
+    """API-path child: the SHIPPED sharp_unlimited over SBLK blocks on
+    disk (reference runs 1.3M cells out-of-core from RDS files,
+    R/SHARP_unlimited3.R:103-131 — this measures OUR production path,
+    I/O, prefetch, sparse device feed, manifest writes and all).
 
-    The remote TPU compile service in this environment occasionally wedges
-    on a cold compile; a killed retry almost always hits the server-side
-    compile cache and completes fast. The child's exit status (quality
-    gates!) is propagated."""
+    Runs in its OWN process so its HBM starts clean — the round-3 bench
+    died RESOURCE_EXHAUSTED because this measurement launched while the
+    compute path's buffers were still resident (VERDICT.md r03)."""
+    env = _bench_env()
+
+    from sharp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from sharp_tpu.analysis.ari import ari
+
+    detail, msgs = api_bench(
+        env["blocks"], env["n_genes"], env["n_types"], env["K"], env["p"],
+        env["fold"], env["min_ari"], ari,
+    )
+    detail["gate_passed"] = not msgs
+    print(json.dumps({"api_path": detail}))
+    if msgs:
+        sys.stderr.write(
+            "QUALITY GATE FAILED: " + "; ".join(msgs) + "\n"
+        )
+        sys.exit(1)
+
+
+def _run_child(flag, budget, extra_env=None, timeout_retries=2,
+               crash_retries=0):
+    """Run one bench child; returns (parsed_json | None, rc, stderr_tail).
+
+    Timeouts retry (the remote TPU compile service occasionally wedges on
+    a cold compile; a killed retry almost always hits the server-side
+    compile cache). Crashes optionally retry once (a crashed Pallas
+    compile can wedge the device for the NEXT process for a minute —
+    CLAUDE.md), then return so the caller can degrade settings instead
+    of dying (the round-3 failure: one OOM zeroed the whole artifact)."""
     import subprocess
 
-    budget = int(os.environ.get("SHARP_BENCH_TIMEOUT", 1800))
-    for attempt in range(3):
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    last_err = ""
+    attempt = 0
+    timeouts = crashes = 0
+    while True:
+        attempt += 1
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                timeout=budget,
-                capture_output=True,
-                text=True,
+                [sys.executable, os.path.abspath(__file__), flag],
+                timeout=budget, capture_output=True, text=True, env=env,
             )
-            emitted = False
-            for line in proc.stdout.splitlines():
-                if line.strip().startswith("{"):
-                    print(line.strip())
-                    emitted = True
-            if emitted or proc.returncode != 0:
-                if proc.returncode != 0:
-                    sys.stderr.write(proc.stderr[-2000:] + "\n")
-                return proc.returncode
         except subprocess.TimeoutExpired:
-            sys.stderr.write(
-                f"bench attempt {attempt + 1} timed out after {budget}s; "
-                "retrying (compile cache should be warm)\n"
-            )
-    print(json.dumps({
-        "metric": "cells_per_second_end_to_end",
-        "value": 0.0,
-        "unit": "cells/s",
-        "vs_baseline": 0.0,
-        "detail": {"error": "bench failed after 3 attempts"},
-    }))
-    return 1
+            last_err = f"timed out after {budget}s"
+            timeouts += 1
+            if timeouts <= timeout_retries:
+                sys.stderr.write(
+                    f"bench {flag} attempt {attempt}: {last_err}; "
+                    "retrying (compile cache should be warm)\n"
+                )
+                continue
+            return None, -1, last_err
+        obj = None
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        if obj is not None:
+            return obj, proc.returncode, proc.stderr[-2000:]
+        last_err = proc.stderr[-2000:] or f"rc={proc.returncode}, no JSON"
+        sys.stderr.write(
+            f"bench {flag} attempt {attempt} failed "
+            f"(rc={proc.returncode}); stderr tail:\n{last_err}\n"
+        )
+        crashes += 1
+        if crashes <= crash_retries:
+            time.sleep(90)  # wedged-device recovery window (CLAUDE.md)
+            continue
+        return None, proc.returncode, last_err
+
+
+def _watchdog_main():
+    """Orchestrate the compute + API children; ALWAYS land a JSON line.
+
+    Degradation ladder (VERDICT r03 next #1): if the compute child dies,
+    retry with halved fold group + stages off, then group=4 — a broken
+    optional section can never zero the core number again. The API child
+    runs in a fresh process (clean HBM); its infra failure is recorded in
+    detail.api_path.error without failing the bench, but a genuine API
+    quality-gate failure (JSON emitted, rc != 0) does propagate."""
+    budget = int(os.environ.get("SHARP_BENCH_TIMEOUT", 1800))
+    base_group = int(os.environ.get("SHARP_BENCH_GROUP", 16))
+    ladder = [
+        {},
+        {"SHARP_BENCH_GROUP": str(max(1, base_group // 2)),
+         "SHARP_BENCH_STAGES": "0"},
+        {"SHARP_BENCH_GROUP": "4", "SHARP_BENCH_STAGES": "0"},
+    ]
+    obj, rc, err = None, 1, ""
+    for extra in ladder:
+        obj, rc, err = _run_child("--compute", budget, extra)
+        if obj is not None:
+            if extra:
+                obj.setdefault("detail", {})["degraded_env"] = extra
+            break
+        sys.stderr.write(
+            f"compute child failed ({err[-300:]}); degrading: next "
+            "ladder step\n"
+        )
+    if obj is None:
+        print(json.dumps({
+            "metric": "cells_per_second_end_to_end",
+            "value": 0.0,
+            "unit": "cells/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"compute bench failed: {err[-500:]}"},
+        }))
+        return 1
+
+    final_rc = rc
+    detail = obj.setdefault("detail", {})
+    if os.environ.get("SHARP_BENCH_API", "1") == "1":
+        aobj, arc, aerr = _run_child(
+            "--api", budget, crash_retries=1
+        )
+        if aobj is not None and "api_path" in aobj:
+            ap = aobj["api_path"]
+            tot = detail.get("total_seconds")
+            if tot and detail.get("n_cells"):
+                ap["cells_per_s_vs_compute"] = round(
+                    ap["cells_per_s"] / (detail["n_cells"] / tot), 3
+                )
+            detail["api_path"] = ap
+            if arc != 0:
+                final_rc = final_rc or arc  # genuine quality failure
+        else:
+            detail["api_path"] = {
+                "error": f"api child failed: {(aerr or '')[-500:]}"
+            }
+    print(json.dumps(obj))
+    return final_rc
 
 
 if __name__ == "__main__":
-    if "--child" in sys.argv:
+    if "--compute" in sys.argv or "--child" in sys.argv:
         main()
+    elif "--api" in sys.argv:
+        main_api()
     else:
         sys.exit(_watchdog_main())

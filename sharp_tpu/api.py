@@ -23,6 +23,7 @@ def sharp(
     gene_names: Optional[np.ndarray] = None,
     cell_names: Optional[np.ndarray] = None,
     cells_axis: int = 0,
+    rM: Optional[object] = None,
     **knobs,
 ) -> SharpResult:
     """Cluster a cells-by-genes expression matrix (~ SHARP(), R/SHARP.R:44).
@@ -34,13 +35,21 @@ def sharp(
     `base_ncells` exactly like the reference (R/SHARP.R:251-280).
 
     cells_axis=1 accepts the reference's genes-by-cells orientation.
+
+    `rM` injects pre-generated RP matrices (the reference's rM argument,
+    R/SHARP.R:541-549): a list of K (genes, p) matrices or one stacked
+    (genes, K * p) array. Callers injecting rM usually also pass
+    prep=False so the gene dimension is not altered under the matrices
+    (the reference's SHARP_unlimited does exactly that,
+    R/SHARP_unlimited.R:135).
     """
     X = np.asarray(X)
     if X.ndim != 2:
         raise ValueError("X must be 2-D (cells x genes)")
     if cells_axis == 1:
+        # gene_names/cell_names are semantic (not axis-bound): they name
+        # genes and cells regardless of the input orientation
         X = X.T
-        gene_names, cell_names = gene_names, cell_names
 
     from sharp_tpu.utils.cache import enable_compilation_cache
 
@@ -54,11 +63,29 @@ def sharp(
         X = preprocess(X, cfg, gene_names=gene_names, cell_names=cell_names)
         cfg = cfg.replace(n_genes=X.shape[1])
 
+    R_all = None
+    if rM is not None:
+        import jax.numpy as jnp
+
+        R_all = (
+            np.concatenate([np.asarray(m) for m in rM], axis=1)
+            if isinstance(rM, (list, tuple))
+            else np.asarray(rM)
+        )
+        want = (X.shape[1], cfg.ensize_K * cfg.reduced_ndim)
+        if R_all.shape != want:
+            raise ValueError(
+                f"rM has shape {R_all.shape}, expected {want} "
+                "(genes x ensize_K * reduced_ndim, after preprocessing "
+                "— pass prep=False to keep the gene dimension fixed)"
+            )
+        R_all = jnp.asarray(R_all, jnp.dtype(cfg.dtype_compute))
+
     if cfg.is_small:
-        return sharp_small(X, cfg, key, timer)
+        return sharp_small(X, cfg, key, timer, R_all=R_all)
     from sharp_tpu.core.large import sharp_large
 
-    return sharp_large(X, cfg, key, timer)
+    return sharp_large(X, cfg, key, timer, R_all=R_all)
 
 
 def sharp_unlimited(

@@ -60,6 +60,18 @@ def _knobs(args):
 
 
 def main(argv=None):
+    # honor SHARP_TPU_PLATFORM before any backend initializes: on hosts
+    # where jax is pre-imported at interpreter startup with a platform
+    # preset (sitecustomize), env vars like JAX_PLATFORMS are read too
+    # early to override — the config API still works until first use
+    import os
+
+    plat = os.environ.get("SHARP_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     ap = argparse.ArgumentParser(prog="sharp_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

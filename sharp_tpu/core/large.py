@@ -374,9 +374,14 @@ def sharp_large(
     cfg: SharpConfig,
     key: jax.Array,
     timer: Optional[StageTimer] = None,
+    R_all=None,
 ) -> SharpResult:
     """Large-data path ~ SHARP_large (R/SHARP.R:478-851). Single-process
-    fold loop; the sharded/multi-host variant lives in sharp_tpu/parallel."""
+    fold loop; the sharded/multi-host variant lives in sharp_tpu/parallel.
+
+    `R_all` injects pre-generated stacked RP matrices (the reference's
+    `rM` argument, R/SHARP.R:541-549); default: generated from `key`.
+    """
     timer = timer or StageTimer()
     n, genes = X.shape
 
@@ -396,10 +401,11 @@ def sharp_large(
         log(f"large path: {n} cells -> {T} folds, block_pad={block_pad}")
 
     with timer.stage("rp_setup"):
-        R_all = ensemble_rp_matrix(
-            key, cfg.ensize_K, genes, cfg.reduced_ndim,
-            dtype=jnp.dtype(cfg.dtype_compute),
-        )
+        if R_all is None:
+            R_all = ensemble_rp_matrix(
+                key, cfg.ensize_K, genes, cfg.reduced_ndim,
+                dtype=jnp.dtype(cfg.dtype_compute),
+            )
 
     with timer.stage("fold_ensemble"):
         from sharp_tpu.parallel.mesh import resolve_mesh
@@ -421,7 +427,6 @@ def sharp_large(
 
             fold_results = process_folds_grouped(
                 X[perm], sizes, block_pad, R_all, cfg, logf,
-                group=min(16, T),
             )
         else:
             fold_results = [

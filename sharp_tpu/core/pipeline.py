@@ -113,8 +113,13 @@ def sharp_small(
     cfg: SharpConfig,
     key: jax.Array,
     timer: Optional[StageTimer] = None,
+    R_all: Optional[jax.Array] = None,
 ) -> SharpResult:
-    """Small-data path ~ SHARP_small (R/SHARP.R:339-454)."""
+    """Small-data path ~ SHARP_small (R/SHARP.R:339-454).
+
+    `R_all` injects pre-generated stacked RP matrices (the reference's
+    `rM` argument, R/SHARP.R:541-549); default: generated from `key`.
+    """
     timer = timer or StageTimer()
     n, genes = X.shape
     K = cfg.ensize_K
@@ -131,9 +136,10 @@ def sharp_small(
         mask[:n] = True
         Xd = jnp.asarray(Xp)
         maskd = jnp.asarray(mask)
-        R_all = ensemble_rp_matrix(
-            key, K, genes, p, dtype=jnp.dtype(cfg.dtype_compute)
-        )
+        if R_all is None:
+            R_all = ensemble_rp_matrix(
+                key, K, genes, p, dtype=jnp.dtype(cfg.dtype_compute)
+            )
 
     with timer.stage("ensemble_cluster"):
         block = cluster_block_ensemble(

@@ -40,6 +40,18 @@ class BlockStore:
             for f in os.listdir(self.directory)
             if f.endswith((".npz", ".npy", ".sblk")) and not f.startswith(".")
         ]
+        # fail loud on mixed naming conventions: files without a numeric
+        # component all key as 0 and would interleave unpredictably with
+        # the numbered ones (the reference sorts purely by the numeric
+        # component, R/SHARP_unlimited3.R:59-62)
+        n_numeric = sum(1 for f in names if _NUM.search(f))
+        if 0 < n_numeric < len(names):
+            plain = [f for f in names if not _NUM.search(f)]
+            raise ValueError(
+                "block directory mixes numbered and unnumbered filenames "
+                f"(unnumbered: {plain[:5]}); block order would be "
+                "ambiguous — use one naming convention"
+            )
         names.sort(key=_numeric_key)
         return [os.path.join(self.directory, f) for f in names]
 

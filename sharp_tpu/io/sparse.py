@@ -112,15 +112,28 @@ def fold_triplets(
     return rows, cols, vals
 
 
-@functools.partial(jax.jit, static_argnames=("block_pad", "genes"))
-def densify_folds(rows, cols, vals, *, block_pad: int, genes: int):
+@functools.partial(
+    jax.jit, static_argnames=("block_pad", "genes", "log2p1")
+)
+def densify_folds(
+    rows, cols, vals, *, block_pad: int, genes: int, log2p1: bool = False
+):
     """Scatter grouped CSR triplets into dense (G, block_pad, genes) f32.
 
     Sorted/unique index hints select the fast scatter lowering on TPU
     (~30 ms per 5.6M-nnz fold on v5e vs ~90 ms without); padded entries
     (row == block_pad) are dropped.
+
+    `log2p1=True` fuses the fold program's log2(1 + x) transform into the
+    scatter: it is applied to the O(nnz) value vector BEFORE densifying
+    (zeros map to log2(1 + 0) = 0, so the dense result is elementwise
+    identical — and bitwise identical per entry — to densify-then-log2),
+    which deletes one full (G, block_pad, genes) HBM copy from the
+    streaming fold pass.
     """
     def one(r, c, v):
+        if log2p1:
+            v = jnp.log2(1.0 + v)
         X = jnp.zeros((block_pad, genes), jnp.float32)
         return X.at[r, c].set(
             v, unique_indices=True, indices_are_sorted=True, mode="drop"

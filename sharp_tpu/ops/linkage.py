@@ -728,11 +728,16 @@ def ward_linkage_rnn(
     # Mosaic rejects lane dims not aligned to the 128 tiling (the same
     # constraint that keeps misaligned problems off the serial Pallas
     # kernel, e.g. allc_pad=192 at K=4) — misaligned tail sizes keep the
-    # XLA while loop
+    # XLA while loop. Tails beyond 1024 also stay on XLA: even at one
+    # lane per grid step the kernel's (1, Cn, Cn) f32 intermediates
+    # exceed the VMEM envelope whose overflow HANGS the Mosaic compile
+    # (CLAUDE.md; ADVICE r03).
     if tail == "auto":
         tail = (
             "pallas"
-            if jax.default_backend() == "tpu" and lvl % 128 == 0
+            if jax.default_backend() == "tpu"
+            and lvl % 128 == 0
+            and lvl <= 1024
             else "xla"
         )
     if tail in ("pallas", "pallas_interpret"):

@@ -565,15 +565,20 @@ def _rnn_tail_kernel(
 
 
 # lanes per grid step: bounds VMEM at ~LCHUNK * Cn^2 * (dtype + f32
-# intermediates) — 16 * 256^2 keeps the working set ~8 MB, safely inside
-# one core's VMEM (an overflowing scratch HANGS the Mosaic compile on
-# this toolchain rather than erroring)
-_TAIL_LCHUNK = 16
+# intermediates). The budget is LC * Cn^2 <= 16 * 256^2 elements (~8 MB
+# f32 working set at the default Cn=256), scaled DOWN for larger tails —
+# ward_linkage_rnn(compact_n=512) is a public knob, and an overflowing
+# scratch HANGS the Mosaic compile on this toolchain rather than erroring.
+_TAIL_BUDGET = 16 * 256 * 256
+
+
+def _tail_lchunk(Cn: int) -> int:
+    return max(1, _TAIL_BUDGET // (Cn * Cn))
 
 
 def _rnn_tail_invoke(D_st, alive, sizes, gidx, lasth, interpret: bool):
     L, Cn, _ = D_st.shape
-    LC = min(_TAIL_LCHUNK, L)
+    LC = min(_tail_lchunk(Cn), L)
     if L % LC:  # pad to a whole number of chunks (dead lanes: alive=0)
         Lp = ((L + LC - 1) // LC) * LC
         D_st = jnp.concatenate(

@@ -40,15 +40,21 @@ from sharp_tpu.utils.timers import StageTimer, log
 
 
 def _config_fingerprint(cfg: SharpConfig) -> str:
+    # forview is part of the fingerprint: a forview=False manifest lacks
+    # the x0/viE planes a forview=True resume needs
     keys = (
         "reduced_ndim", "ensize_K", "partition_ncells", "minN_cluster",
         "maxN_cluster", "sil_thre", "height_Ntimes", "rN_seed", "nc_pad",
+        "forview",
     )
     payload = json.dumps({k: getattr(cfg, k) for k in keys}, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _fold_pass(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None):
+def _fold_pass(
+    Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None,
+    group: Optional[int] = None,
+):
     """One block's fold pass -> list of per-fold summary dicts.
 
     With a mesh, the block's folds fan out over the mesh "data" axis —
@@ -85,21 +91,53 @@ def _fold_pass(Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None):
     return process_folds_grouped(
         Xb if sparse else np.asarray(Xb, np.float32),
         sizes, block_pad, R_all, cfg, logf,
-        group=min(16, len(sizes)),
+        group=group,
     )
 
 
 def _block_summary(fres):
-    """(labels (nb,), centroids (C, p), sizes (C,)) from a block fuse.
+    """(labels (nb,), centroids (C, p), sizes (C,), x0c) from a block fuse.
 
     Block-cluster centroids come straight from the fuse's per-meta
     centroid sums in the shared mean-RP feature space — no per-cell pass.
+    `x0c` is the per-cell wMetaC vote matrix with columns COMPACTED to the
+    block's live clusters (padding/empty slots carry no real-cell votes),
+    or None when the fold pass ran without forview.
     """
     uniq = np.unique(fres.labels)
     cents = fres.cents[uniq]
     counts = fres.counts[uniq]
     pos = np.searchsorted(uniq, fres.labels)  # labels as positions in uniq
-    return pos.astype(np.int32), cents.astype(np.float32), counts
+    x0c = None
+    if fres.x0 is not None:
+        x0c = np.ascontiguousarray(fres.x0[:, uniq], dtype=np.float32)
+    return pos.astype(np.int32), cents.astype(np.float32), counts, x0c
+
+
+def _view_rp_matrix(cfg: SharpConfig, key) -> Optional[np.ndarray]:
+    """Extra shared RP for view features at scale.
+
+    Mirrors R/SHARP_unlimited.R:216-235: above 1e5 total cells the p-dim
+    viE is re-projected to 50 view dimensions with ONE extra ternary RP
+    matrix shared by all blocks (deterministic from the run key, so every
+    block — and every host — projects identically). Below the threshold
+    viE stays in the shared p-dim RP space and no matrix is needed.
+    """
+    if cfg.n_cells <= 1e5 or cfg.reduced_ndim <= 50:
+        return None
+    from sharp_tpu.ops.rp import ternary_rp_matrix
+
+    kview = jax.random.fold_in(key, 0x56494557)  # "VIEW"
+    R = ternary_rp_matrix(kview, cfg.reduced_ndim, 50)
+    return np.asarray(R, np.float32) / np.sqrt(50.0)
+
+
+def _block_view_features(frs: List[dict], R_view) -> np.ndarray:
+    """Per-cell viE for one block (fold order), optionally view-projected."""
+    viE = np.concatenate(
+        [np.asarray(fr["mean_proj"], np.float32) for fr in frs], axis=0
+    )
+    return viE @ R_view if R_view is not None else viE
 
 
 def _process_block(
@@ -196,6 +234,7 @@ def sharp_unlimited(
     multihost: bool = False,
     fuse_batch: int = 8,
     sparse_feed: Optional[bool] = None,
+    group: Optional[int] = None,
     **knobs,
 ) -> SharpResult:
     """Blocked / out-of-core clustering ~ SHARP_unlimited{,2,3}.
@@ -213,7 +252,10 @@ def sharp_unlimited(
     (results are invariant to the grouping). `sparse_feed` (default
     auto) ships SBLK/scipy-CSR blocks to the device as CSR triplets and
     densifies on-chip — bit-identical labels, ~6x less host->device
-    traffic; pass False to force host densify.
+    traffic; pass False to force host densify. `group` bounds how many
+    folds are staged per device call (default: sized from the HBM
+    budget, parallel/sharded.auto_group; `SHARP_TPU_HBM_BUDGET` bytes
+    overrides the budget).
     """
     from sharp_tpu.utils.cache import enable_compilation_cache
 
@@ -319,6 +361,7 @@ def sharp_unlimited(
     from sharp_tpu.parallel.mesh import resolve_mesh
 
     mesh = resolve_mesh(cfg)
+    R_view = _view_rp_matrix(cfg, key) if cfg.forview else None
     results_by_block = {}
     pending = []  # (block index, fold summaries) awaiting fuse
 
@@ -326,12 +369,20 @@ def sharp_unlimited(
         if not pending:
             return
         fused = fuse_blocks([frs for _, frs in pending], cfg)
-        for (i, _), fres in zip(pending, fused):
-            labels, cents, counts = _block_summary(fres)
+        for (i, frs), fres in zip(pending, fused):
+            labels, cents, counts, x0c = _block_summary(fres)
+            viE_b = (
+                _block_view_features(frs, R_view) if cfg.forview else None
+            )
             mp = manifest_path(i)
             if mp:
-                np.savez(mp, labels=labels, cents=cents, counts=counts)
-            results_by_block[i] = (labels, cents, counts)
+                extra = (
+                    {"x0": x0c, "viE": viE_b} if cfg.forview else {}
+                )
+                np.savez(
+                    mp, labels=labels, cents=cents, counts=counts, **extra
+                )
+            results_by_block[i] = (labels, cents, counts, x0c, viE_b)
             log(f"block {i}: {len(labels)} cells -> {len(counts)} clusters")
         pending.clear()
 
@@ -348,7 +399,9 @@ def sharp_unlimited(
                 if not want(i):
                     z = np.load(manifest_path(i))
                     results_by_block[i] = (
-                        z["labels"], z["cents"], z["counts"]
+                        z["labels"], z["cents"], z["counts"],
+                        z["x0"] if "x0" in z.files else None,
+                        z["viE"] if "viE" in z.files else None,
                     )
                     log(f"block {i}: resumed from manifest")
                     continue
@@ -363,7 +416,9 @@ def sharp_unlimited(
                 )
                 prefetched_for = nxt
 
-                pending.append((i, _fold_pass(Xb, cfg, R_all, logf, mesh)))
+                pending.append(
+                    (i, _fold_pass(Xb, cfg, R_all, logf, mesh, group=group))
+                )
                 if len(pending) >= fuse_batch:
                     fuse_pending()
             fuse_pending()
@@ -390,7 +445,7 @@ def sharp_unlimited(
             bud = ((eff_maxN + 9) // 8) * 8
             max_local = (n_blocks + pcount - 1) // pcount
             payload = np.zeros((max_local, bud, p + 1), np.float32)
-            for bi, (_, cents, counts) in enumerate(block_results):
+            for bi, (_, cents, counts, _x0, _v) in enumerate(block_results):
                 cp, cc = pad_block_summary(cents, counts, bud)
                 payload[bi, :, :p] = cp
                 payload[bi, :, p] = cc
@@ -403,7 +458,7 @@ def sharp_unlimited(
                     C = int((blk[:, p] > 0).sum())
                     summaries.append((blk[:C, :p], blk[:C, p]))
         else:
-            summaries = [(c, n) for _, c, n in block_results]
+            summaries = [(c, n) for _, c, n, _x0, _v in block_results]
 
     # --- global sMetaC over block-cluster centroids ----------------------
     with timer.stage("global_smetac"):
@@ -413,14 +468,30 @@ def sharp_unlimited(
 
     with timer.stage("finalize"):
         # map this host's cells through their blocks' global offsets
+        n_glob = len(order)
         parts = []
-        for bi, (labels, _, _) in zip(my_blocks, block_results):
+        x0_parts = []
+        viE_parts = []
+        for bi, (labels, _, _, x0c, viE_b) in zip(my_blocks, block_results):
             parts.append(remap[tf[offsets[bi] + labels]])
+            if x0c is not None:
+                # vote columns (block clusters) summed onto their global
+                # size-ordered clusters — the block-level analog of
+                # core/large._finish_block's x0 remap
+                Cb = x0c.shape[1]
+                gcol = remap[tf[offsets[bi] + np.arange(Cb)]] - 1
+                M = np.zeros((Cb, n_glob), np.float32)
+                M[np.arange(Cb), gcol] = 1.0
+                x0_parts.append(x0c @ M)
+            if viE_b is not None:
+                viE_parts.append(viE_b)
         final = (
             np.concatenate(parts).astype(np.int32)
             if parts else np.zeros((0,), np.int32)
         )
-        vals = np.arange(1, len(order) + 1)  # global ids, size-ordered
+        x0_all = np.concatenate(x0_parts, axis=0) if x0_parts else None
+        viE_all = np.concatenate(viE_parts, axis=0) if viE_parts else None
+        vals = np.arange(1, n_glob + 1)  # global ids, size-ordered
         cnts = meta_sizes[order].astype(np.int64)
 
     return SharpResult(
@@ -428,6 +499,8 @@ def sharp_unlimited(
         N_pred_cluster=len(vals),
         unique_pred_clusters=[int(v) for v in vals],
         distr_pred_clusters={int(v): int(c) for v, c in zip(vals, cnts)},
+        viE=viE_all,
+        x0=x0_all,
         paras=cfg.as_dict(),
         timing=timer.as_dict(),
     )

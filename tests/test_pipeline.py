@@ -54,3 +54,35 @@ def test_alternative_hmethod():
     assert res.paras["hmethod"] == "average"
     ari = adjusted_rand_score(y, res.pred_clusters)
     assert ari >= 0.8, f"average-linkage ARI {ari:.3f}"
+
+
+def test_sharp_rM_injection():
+    """sharp(rM=...) injects pre-generated RP matrices (the reference's
+    rM driver argument, R/SHARP.R:541-549): injecting the exact matrices
+    the default run would generate reproduces it bit-for-bit, both as a
+    stacked array and as a per-member list; a wrong shape fails loud."""
+    import jax.numpy as jnp
+
+    from sharp_tpu.config import resolve_config
+    from sharp_tpu.ops.rp import ensemble_rp_matrix
+    from sharp_tpu.utils.prng import seed_to_key
+
+    X, y = make_tpm_like(n_cells=300, n_genes=400, n_types=4, seed=8)
+    kw = dict(rN_seed=11, ensize_K=3, prep=False)
+    r0 = sharp(X, **kw)
+
+    cfg = resolve_config(X.shape[0], X.shape[1], **kw)
+    R = ensemble_rp_matrix(
+        seed_to_key(cfg.rN_seed), cfg.ensize_K, X.shape[1],
+        cfg.reduced_ndim, dtype=jnp.dtype(cfg.dtype_compute),
+    )
+    r1 = sharp(X, rM=np.asarray(R), **kw)
+    np.testing.assert_array_equal(r0.pred_clusters, r1.pred_clusters)
+
+    p = cfg.reduced_ndim
+    mats = [np.asarray(R)[:, k * p : (k + 1) * p] for k in range(3)]
+    r2 = sharp(X, rM=mats, **kw)
+    np.testing.assert_array_equal(r0.pred_clusters, r2.pred_clusters)
+
+    with pytest.raises(ValueError, match="rM has shape"):
+        sharp(X, rM=np.zeros((X.shape[1], 7), np.float32), **kw)

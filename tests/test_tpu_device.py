@@ -131,3 +131,45 @@ def test_sparse_device_feed_bit_identical(tpu_backend, tmp_path):
     r_dense = sharp_unlimited(d, sparse_feed=False, **kw)
     r_sparse = sharp_unlimited(d, sparse_feed=True, **kw)
     np.testing.assert_array_equal(r_dense.pred_clusters, r_sparse.pred_clusters)
+
+
+def test_streaming_hbm_budget_group_sizing(tpu_backend, tmp_path, monkeypatch):
+    """Memory-aware fold grouping on the real chip (VERDICT r03 next #2):
+    a tight SHARP_TPU_HBM_BUDGET must shrink the staged group, the run
+    must complete, labels must be invariant to the group size, and —
+    when the backend reports memory stats — the pass must stay inside a
+    small multiple of the budget."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp_unlimited
+    from sharp_tpu.io.blocks import save_blocks
+    from sharp_tpu.parallel.sharded import auto_group
+
+    jax = tpu_backend
+    X, y = make_tpm_like(n_cells=4000, n_genes=2000, n_types=6, seed=3)
+    d = str(tmp_path / "sblk")
+    save_blocks(d, [X[:2000], X[2000:]], fmt="sblk")
+    kw = dict(rN_seed=7, ensize_K=4, partition_ncells=500,
+              dtype_compute="bfloat16", resume=False)
+
+    r_wide = sharp_unlimited(d, group=8, **kw)
+
+    budget = 96 << 20  # 96 MB: forces a small group at this shape
+    monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(budget))
+    g = auto_group(512, 2000, sparse=True)
+    assert g < 8, f"budget did not bind (group={g})"
+
+    dev = jax.local_devices()[0]
+    stats0 = dev.memory_stats() or {}
+    r_tight = sharp_unlimited(d, **kw)  # group auto-sized from the budget
+    np.testing.assert_array_equal(r_wide.pred_clusters, r_tight.pred_clusters)
+
+    stats1 = dev.memory_stats() or {}
+    if "bytes_in_use" in stats1 and "bytes_in_use" in stats0:
+        # loose envelope: staged groups honor the budget; the fold
+        # program's own working set rides on top
+        growth = stats1["bytes_in_use"] - stats0["bytes_in_use"]
+        assert growth < 8 * budget, f"resident growth {growth / 1e6:.0f} MB"
