@@ -157,6 +157,13 @@ def main():
         "declared_n_cells": DECLARED_CELLS,
         "n_clusters": int(p0["n"]),
         "ari_vs_planted": round(ari, 4),
+        "ari_note": (
+            "declaring 1.3M cells forces the >= 1e6 smetac_range minN "
+            "floor (26) above the 10 planted types — the widened-range "
+            "over-clustering is the exercised reference behavior "
+            "(R/sMetaC.R:103-119), so a low ARI here is by design; this "
+            "script proves multihost mechanics, not clustering quality"
+        ),
         "two_process_equals_single_process": True,
         "resume_equals_cold": True,
         "manifests_written": n_manifests,

@@ -120,23 +120,27 @@ def densify_folds(
 ):
     """Scatter grouped CSR triplets into dense (G, block_pad, genes) f32.
 
-    Sorted/unique index hints select the fast scatter lowering on TPU
-    (~30 ms per 5.6M-nnz fold on v5e vs ~90 ms without); padded entries
-    (row == block_pad) are dropped.
+    Padded entries (row == block_pad) are out of bounds and dropped.
+
+    NO sorted/unique scatter hints: with `indices_are_sorted=True` the
+    TPU lowering returns deterministically WRONG values at production
+    shapes (measured: ~4.03M of 4.1M nonzeros corrupted per 2000 x 27998
+    fold on v5e — even with genuinely lexicographically-sorted, fully
+    unique index tuples — while the small shapes the CPU tests cover
+    round-trip fine). The hint-free scatter is verified bit-exact at
+    production shape by the hardware lane
+    (tests/test_tpu_device.py::test_densify_production_shape_exact).
 
     `log2p1=True` fuses the fold program's log2(1 + x) transform into the
     scatter: it is applied to the O(nnz) value vector BEFORE densifying
     (zeros map to log2(1 + 0) = 0, so the dense result is elementwise
-    identical — and bitwise identical per entry — to densify-then-log2),
-    which deletes one full (G, block_pad, genes) HBM copy from the
-    streaming fold pass.
+    identical to densify-then-log2), which deletes one full
+    (G, block_pad, genes) HBM copy from the streaming fold pass.
     """
     def one(r, c, v):
         if log2p1:
             v = jnp.log2(1.0 + v)
         X = jnp.zeros((block_pad, genes), jnp.float32)
-        return X.at[r, c].set(
-            v, unique_indices=True, indices_are_sorted=True, mode="drop"
-        )
+        return X.at[r, c].set(v, mode="drop")
 
     return jax.vmap(one)(rows, cols, vals)

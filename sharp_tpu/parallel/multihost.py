@@ -97,6 +97,20 @@ def pad_block_summary(
     return cp, cc
 
 
+def barrier(process_count: Optional[int] = None) -> None:
+    """Cross-process sync point (tiny allgather of one float).
+
+    XLA's Gloo CPU backend hard-codes ~30 s rendezvous/op timeouts, so
+    processes must reach every collective within ~30 s of each other. Two
+    uses: (1) immediately after distributed_init, while processes are
+    still in lockstep, so the Gloo context is established before
+    compile/compute skew can accumulate; (2) once per streamed block, so
+    the end-of-stream summary all-gather is reached with at most one
+    block's worth of skew.
+    """
+    allgather_summaries(np.zeros((1,), np.float32), process_count)
+
+
 def allgather_summaries(
     local: np.ndarray, process_count: Optional[int] = None
 ) -> np.ndarray:

@@ -77,7 +77,15 @@ def auto_group(
     """
     fold_bytes = block_pad * genes * 4
     mult = 2.0 if sparse else 3.0
-    return max(1, min(cap, int(hbm_budget_bytes() / (mult * fold_bytes))))
+    fit = int(hbm_budget_bytes() / (mult * fold_bytes))
+    # quantize to a short ladder: free-memory jitter must not mint new
+    # group sizes — every distinct group is a distinct compiled shape,
+    # and cold remote compiles are expensive (and wedge-prone on this
+    # toolchain)
+    for g in (16, 8, 4, 2):
+        if fit >= g and cap >= g:
+            return g
+    return 1
 
 
 def process_folds_grouped(

@@ -279,7 +279,10 @@ def sharp_unlimited(
         if len(blocks) == 1:
             from sharp_tpu.api import sharp
 
-            return sharp(np.asarray(blocks[0]), **knobs)
+            b = blocks[0]
+            # scipy sparse -> dense (np.asarray would wrap it 0-d)
+            X1 = b.toarray() if hasattr(b, "tocsr") else np.asarray(b)
+            return sharp(X1, **knobs)
         n_blocks = len(blocks)
         n_cells = n_cells or sum(b.shape[0] for b in blocks)
         n_genes = n_genes or blocks[0].shape[1]
@@ -305,14 +308,25 @@ def sharp_unlimited(
     # PRNGKey below would lock it out), so the block assignment is
     # resolved first
     if multihost:
-        from sharp_tpu.parallel.multihost import block_slice, distributed_init
+        from sharp_tpu.parallel.multihost import (
+            barrier,
+            block_slice,
+            distributed_init,
+        )
 
         pidx, pcount = distributed_init()
         my_blocks = block_slice(n_blocks, pidx, pcount)
         log(f"multihost: process {pidx}/{pcount} handles blocks {my_blocks}")
+        if pcount > 1:
+            # establish the Gloo context NOW, while processes are in
+            # lockstep — its rendezvous hard-times-out at ~30 s, which
+            # compile/compute skew over a long block stream exceeds
+            barrier(pcount)
     else:
         pidx, pcount = 0, 1
         my_blocks = list(range(n_blocks))
+    lockstep = multihost and pcount > 1
+    max_local = (n_blocks + pcount - 1) // pcount
 
     knobs.setdefault("forview", False)
     cfg = resolve_config(n_cells, n_genes, **knobs)
@@ -396,32 +410,48 @@ def sharp_unlimited(
 
             prefetched_for = None
             for i in my_blocks:
-                if not want(i):
-                    z = np.load(manifest_path(i))
-                    results_by_block[i] = (
-                        z["labels"], z["cents"], z["counts"],
-                        z["x0"] if "x0" in z.files else None,
-                        z["viE"] if "viE" in z.files else None,
+                try:
+                    if not want(i):
+                        z = np.load(manifest_path(i))
+                        results_by_block[i] = (
+                            z["labels"], z["cents"], z["counts"],
+                            z["x0"] if "x0" in z.files else None,
+                            z["viE"] if "viE" in z.files else None,
+                        )
+                        log(f"block {i}: resumed from manifest")
+                        continue
+                    if prefetched_for == i and future is not None:
+                        Xb = future.result()
+                    else:
+                        Xb = load_block(i)
+                    # prefetch the next needed block
+                    nxt = next(
+                        (j for j in my_blocks if j > i and want(j)), None
                     )
-                    log(f"block {i}: resumed from manifest")
-                    continue
-                if prefetched_for == i and future is not None:
-                    Xb = future.result()
-                else:
-                    Xb = load_block(i)
-                # prefetch the next needed block
-                nxt = next((j for j in my_blocks if j > i and want(j)), None)
-                future = (
-                    pool.submit(load_block, nxt) if nxt is not None else None
-                )
-                prefetched_for = nxt
+                    future = (
+                        pool.submit(load_block, nxt)
+                        if nxt is not None else None
+                    )
+                    prefetched_for = nxt
 
-                pending.append(
-                    (i, _fold_pass(Xb, cfg, R_all, logf, mesh, group=group))
-                )
-                if len(pending) >= fuse_batch:
-                    fuse_pending()
+                    pending.append(
+                        (i, _fold_pass(Xb, cfg, R_all, logf, mesh,
+                                       group=group))
+                    )
+                    if len(pending) >= fuse_batch:
+                        fuse_pending()
+                finally:
+                    if lockstep:
+                        # once per block: bounds cross-process skew to
+                        # one block so the Gloo ~30 s op window holds at
+                        # the end-of-stream all-gather
+                        barrier(pcount)
             fuse_pending()
+        if lockstep:
+            # hosts with one block fewer run matching dummy syncs so the
+            # per-block barrier count agrees everywhere
+            for _ in range(max_local - len(my_blocks)):
+                barrier(pcount)
     block_results = [results_by_block[i] for i in my_blocks]
 
     # --- gather block summaries (one collective across hosts) ------------

@@ -256,15 +256,25 @@ def test_auto_group_memory_sizing(monkeypatch):
     group x block_pad x genes f32 staging must fit."""
     from sharp_tpu.parallel.sharded import auto_group
 
+    # groups are quantized to the {16, 8, 4, 2, 1} ladder so free-memory
+    # jitter cannot mint new compiled shapes
     monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(8 << 30))
-    fold_bytes = 2048 * 27998 * 4
-    assert auto_group(2048, 27998, sparse=False) == int(
-        (8 << 30) / (3.0 * fold_bytes)
-    )
-    assert auto_group(2048, 27998, sparse=True) == min(
-        16, int((8 << 30) / (2.0 * fold_bytes))
-    )
+    # dense fit = 8 GiB / (3 * 229 MB) = 12 -> ladder 8
+    assert auto_group(2048, 27998, sparse=False) == 8
+    # sparse fit = 8 GiB / (2 * 229 MB) = 18 -> capped 16
+    assert auto_group(2048, 27998, sparse=True) == 16
     monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(1 << 28))
     assert auto_group(2048, 27998, sparse=False) == 1  # never zero
     monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(1 << 40))
     assert auto_group(2048, 27998, sparse=False) == 16  # latency cap
+
+
+def test_unlimited_single_sparse_matrix_degrades():
+    """A length-1 list holding a scipy sparse block must densify before
+    degrading to sharp() (np.asarray would wrap the matrix 0-d)."""
+    import scipy.sparse as sp
+
+    X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=3, seed=2)
+    res = sharp_unlimited([sp.csr_matrix(X)], rN_seed=4, ensize_K=4)
+    ref = sharp_unlimited([X], rN_seed=4, ensize_K=4)
+    np.testing.assert_array_equal(res.pred_clusters, ref.pred_clusters)

@@ -157,7 +157,7 @@ def test_streaming_hbm_budget_group_sizing(tpu_backend, tmp_path, monkeypatch):
 
     r_wide = sharp_unlimited(d, group=8, **kw)
 
-    budget = 96 << 20  # 96 MB: forces a small group at this shape
+    budget = 48 << 20  # 48 MB: forces a small group at this shape
     monkeypatch.setenv("SHARP_TPU_HBM_BUDGET", str(budget))
     g = auto_group(512, 2000, sparse=True)
     assert g < 8, f"budget did not bind (group={g})"
@@ -173,3 +173,59 @@ def test_streaming_hbm_budget_group_sizing(tpu_backend, tmp_path, monkeypatch):
         # program's own working set rides on top
         growth = stats1["bytes_in_use"] - stats0["bytes_in_use"]
         assert growth < 8 * budget, f"resident growth {growth / 1e6:.0f} MB"
+
+
+def test_densify_production_shape_exact(tpu_backend):
+    """The sparse device-feed scatter must be bit-exact at PRODUCTION
+    shape on the real chip. Regression pin for the round-4 discovery:
+    with indices_are_sorted=True the TPU scatter lowering corrupted
+    ~98% of nonzeros at 2000 x 27998 / ~4M nnz (while the 600-gene
+    small-shape lane test stayed green), silently feeding garbage
+    expression to every fold of the API path."""
+    import scipy.sparse as sp
+
+    from sharp_tpu.io.sparse import (
+        SparseBlock, densify_folds, fold_triplets, nnz_pad,
+    )
+
+    rng = np.random.default_rng(5)
+    n, genes, keep = 2000, 27998, 2048
+    cols = np.sort(
+        rng.integers(0, genes, (n, keep), dtype=np.int32), axis=1
+    )
+    # dedup within rows: bump duplicates onto distinct columns
+    for i in range(n):
+        u, idx = np.unique(cols[i], return_index=True)
+        extra = rng.choice(
+            np.setdiff1d(np.arange(genes, dtype=np.int32), u,
+                         assume_unique=False),
+            keep - len(u), replace=False,
+        )
+        cols[i] = np.sort(np.concatenate([u, extra.astype(np.int32)]))
+    vals = rng.lognormal(2.0, 1.0, (n, keep)).astype(np.float32)
+    indptr = np.arange(n + 1, dtype=np.int64) * keep
+    sb = SparseBlock(n=n, g=genes, indptr=indptr,
+                     indices=cols.ravel(), data=vals.ravel())
+
+    block_pad = 2048
+    budget = nnz_pad(n * keep)
+    rows_t, cols_t, vals_t = fold_triplets(
+        sb, [0], [n], block_pad, budget
+    )
+    dense = np.asarray(densify_folds(
+        rows_t, cols_t, vals_t, block_pad=block_pad, genes=genes
+    ))[0]
+    ref = np.asarray(sp.csr_matrix(
+        (sb.data, sb.indices, sb.indptr), shape=(n, genes)
+    ).todense(), np.float32)
+    np.testing.assert_array_equal(dense[:n], ref)
+    assert not dense[n:].any()
+
+    dlog = np.asarray(densify_folds(
+        rows_t, cols_t, vals_t, block_pad=block_pad, genes=genes,
+        log2p1=True,
+    ))[0]
+    import jax.numpy as jnp
+
+    ref_log = np.asarray(jnp.log2(1.0 + jnp.asarray(ref)))
+    np.testing.assert_allclose(dlog[:n], ref_log, rtol=0, atol=0)
