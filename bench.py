@@ -153,7 +153,7 @@ def main():
 
     from sharp_tpu.config import resolve_config, pad_dim
     from sharp_tpu.core.fold import fold_program, fold_static_args
-    from sharp_tpu.core.large import fold_sizes, fuse_blocks, summary_to_host
+    from sharp_tpu.core.large import fold_sizes, fuse_blocks, summaries_to_host
     from sharp_tpu.ops.distance import pearson_distance
     from sharp_tpu.ops.rp import ensemble_rp_matrix, rp_project_ensemble
     from sharp_tpu.parallel.streaming import global_block_fuse
@@ -335,10 +335,12 @@ def main():
         # atomically, so this waits for the entire fold program
         np.asarray(out.n_meta)
         fold_pass_s += time.time() - t0
+        # selective bulk pull (skips the O(B x p) view planes; d2h on the
+        # tunneled TPU measures ~1 MB/s with high per-call latency)
+        frs = summaries_to_host(out, [sz for _, sz in plan], False)
         for gi, (bi, sz) in enumerate(plan):
-            s = jax.tree.map(lambda a: a[gi], out)
             truth.append(np.asarray(ys[gi])[:sz])
-            block_frs[bi].append(summary_to_host(s, sz, forview=False))
+            block_frs[bi].append(frs[gi])
     if profile_dir:
         jax.profiler.stop_trace()
     # everything downstream works on host summaries — release the multi-GB
@@ -715,8 +717,13 @@ def _watchdog_main():
     final_rc = rc
     detail = obj.setdefault("detail", {})
     if os.environ.get("SHARP_BENCH_API", "1") == "1":
+        # the API child streams 26 blocks over the host->device link —
+        # at 1.3M scale that is tens of minutes on a tunneled TPU
+        api_budget = int(
+            os.environ.get("SHARP_BENCH_API_TIMEOUT", max(budget, 3600))
+        )
         aobj, arc, aerr = _run_child(
-            "--api", budget, crash_retries=1
+            "--api", api_budget, crash_retries=1
         )
         if aobj is not None and "api_path" in aobj:
             ap = aobj["api_path"]

@@ -71,6 +71,43 @@ def summary_to_host(s, n_fold: int, forview: bool = True) -> dict:
     return out
 
 
+_SUMMARY_FIELDS = (
+    "finalC", "n_meta", "cent_sum", "counts", "k_per", "maxsil", "overflow"
+)
+
+
+def summaries_to_host(out, sizes, forview: bool):
+    """Batched device FoldSummary -> per-fold host dicts, ONE selective
+    bulk pull per field.
+
+    Two d2h pathologies this avoids (both measured on a tunneled TPU
+    where device->host runs ~1 MB/s with ~0.2-1 s per-call latency):
+    per-fold tree.map(a[gi]) slicing launches ~7 tiny device programs +
+    pulls PER FOLD (~220 s over 33 folds), and a whole-tree bulk pull
+    drags the (G, B, p) mean_proj / (G, B, nc_pad) x0 planes (~40 MB per
+    group) that forview=False discards anyway.
+    """
+    names = _SUMMARY_FIELDS + (("mean_proj", "x0") if forview else ())
+    host = {k: np.asarray(getattr(out, k)) for k in names}
+    res = []
+    for gi, sz in enumerate(sizes):
+        sz = int(sz)
+        fr = {
+            "finalC": host["finalC"][gi][:sz],
+            "n_meta": int(host["n_meta"][gi]),
+            "cent_sum": host["cent_sum"][gi],
+            "counts": host["counts"][gi],
+            "k_per": host["k_per"][gi],
+            "maxsil": host["maxsil"][gi],
+            "overflow": bool(host["overflow"][gi]),
+        }
+        if forview:
+            fr["mean_proj"] = host["mean_proj"][gi][:sz]
+            fr["x0"] = host["x0"][gi][:sz]
+        res.append(fr)
+    return res
+
+
 def process_fold(
     X_fold: np.ndarray,
     n_fold: int,

@@ -85,15 +85,23 @@ def fold_triplets(
     block_pad: int,
     budget: int,
 ):
-    """Padded (rows, cols, vals) for a group of folds of one block.
+    """Padded (counts, cols, vals) for a group of folds of one block.
 
-    Row ids are fold-local; padded entries carry row = block_pad, which is
-    out of bounds for the (block_pad, genes) target and dropped by the
-    scatter (mode="drop").
+    The wire format is transfer-minimal for the host->device link (often
+    the streaming bottleneck — a tunneled TPU measured ~105 MB/s):
+      * counts (G, block_pad) int32 — per-row nonzero counts; row ids are
+        DERIVED on device from their cumulative sum (densify_folds), so
+        the O(nnz) row vector never crosses the link;
+      * cols (G, budget) uint16 when genes fits (int32 otherwise);
+      * vals (G, budget) f32 — exact values, bit-equality preserved.
+    6 bytes/nnz instead of the naive 12 (rows+cols+vals as int32/f32).
+    Entries past a fold's nnz are dropped on device (derived row ==
+    block_pad, out of bounds for the scatter).
     """
     G = len(starts)
-    rows = np.full((G, budget), block_pad, np.int32)
-    cols = np.zeros((G, budget), np.int32)
+    cdt = np.uint16 if sb.g <= np.iinfo(np.uint16).max + 1 else np.int32
+    counts = np.zeros((G, block_pad), np.int32)
+    cols = np.zeros((G, budget), cdt)
     vals = np.zeros((G, budget), np.float32)
     for gi, (r0, sz) in enumerate(zip(starts, sizes)):
         p0 = int(sb.indptr[r0])
@@ -103,24 +111,24 @@ def fold_triplets(
             raise ValueError(
                 f"fold nnz {nnz} exceeds budget {budget}; raise nnz_pad step"
             )
-        counts = np.diff(sb.indptr[r0 : r0 + sz + 1]).astype(np.int64)
-        rows[gi, :nnz] = np.repeat(
-            np.arange(sz, dtype=np.int32), counts
-        )
-        cols[gi, :nnz] = sb.indices[p0:p1]
+        counts[gi, :sz] = np.diff(sb.indptr[r0 : r0 + sz + 1])
+        cols[gi, :nnz] = sb.indices[p0:p1].astype(cdt, copy=False)
         vals[gi, :nnz] = sb.data[p0:p1]
-    return rows, cols, vals
+    return counts, cols, vals
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_pad", "genes", "log2p1")
 )
 def densify_folds(
-    rows, cols, vals, *, block_pad: int, genes: int, log2p1: bool = False
+    counts, cols, vals, *, block_pad: int, genes: int, log2p1: bool = False
 ):
-    """Scatter grouped CSR triplets into dense (G, block_pad, genes) f32.
+    """Scatter grouped CSR data into dense (G, block_pad, genes) f32.
 
-    Padded entries (row == block_pad) are out of bounds and dropped.
+    Row ids are derived ON DEVICE from the per-row `counts` (see
+    fold_triplets): rows[i] = #{cumsum(counts) <= i}, one vectorized
+    binary search over the O(nnz) index range — entries past the fold's
+    total nnz derive row == block_pad, out of bounds, and are dropped.
 
     NO sorted/unique scatter hints: with `indices_are_sorted=True` the
     TPU lowering returns deterministically WRONG values at production
@@ -137,10 +145,15 @@ def densify_folds(
     identical to densify-then-log2), which deletes one full
     (G, block_pad, genes) HBM copy from the streaming fold pass.
     """
-    def one(r, c, v):
+    budget = cols.shape[-1]
+    pos = jnp.arange(budget, dtype=jnp.int32)
+
+    def one(cnt, c, v):
+        cum = jnp.cumsum(cnt.astype(jnp.int32))
+        r = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32)
         if log2p1:
             v = jnp.log2(1.0 + v)
         X = jnp.zeros((block_pad, genes), jnp.float32)
-        return X.at[r, c].set(v, mode="drop")
+        return X.at[r, c.astype(jnp.int32)].set(v, mode="drop")
 
-    return jax.vmap(one)(rows, cols, vals)
+    return jax.vmap(one)(counts, cols, vals)

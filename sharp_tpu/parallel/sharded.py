@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sharp_tpu.config import SharpConfig
 from sharp_tpu.core.fold import FoldSummary, fold_program, fold_static_args
-from sharp_tpu.core.large import summary_to_host
+from sharp_tpu.core.large import summaries_to_host, summary_to_host
 from sharp_tpu.utils.timers import log
 
 
@@ -140,32 +140,52 @@ def process_folds_grouped(
         ]
         budget = nnz_pad(max(fold_nnz))
 
+    import time as _time
+
+    timing = (
+        {"slice_s": 0.0, "transfer_s": 0.0, "device_s": 0.0,
+         "readback_s": 0.0}
+        if os.environ.get("SHARP_TPU_FOLD_TIMING") == "1"
+        else None
+    )
+
     def stage(g0):
         """Host-side slice + (async) device transfer for one group."""
+        t0 = _time.perf_counter()
         gsizes = list(sizes[g0 : g0 + group])
         G = len(gsizes)
         pad_sizes = gsizes + [gsizes[0]] * (group - G)  # never recompile
         starts = [int(offsets[g0 + gi]) for gi in range(G)]
         starts += [starts[0]] * (group - G)
         if sparse:
-            rows, cols, vals = fold_triplets(
+            counts, cols, vals = fold_triplets(
                 X, starts, pad_sizes, block_pad, budget
             )
+            t1 = _time.perf_counter()
             staged = (
-                jax.device_put(rows), jax.device_put(cols),
+                jax.device_put(counts), jax.device_put(cols),
                 jax.device_put(vals),
             )
         else:
             Xg = np.zeros((group, block_pad, genes), np.float32)
             for gi, (r0, sz) in enumerate(zip(starts, pad_sizes)):
                 Xg[gi, :sz] = X[r0 : r0 + sz]
+            t1 = _time.perf_counter()
             staged = jax.device_put(Xg)
+        if timing is not None:
+            # force transfer completion ONLY when attributing time —
+            # normally the async transfer overlaps the previous group
+            jax.block_until_ready(staged)
+            t2 = _time.perf_counter()
+            timing["slice_s"] += t1 - t0
+            timing["transfer_s"] += t2 - t1
         masks = np.arange(block_pad)[None, :] < np.asarray(pad_sizes)[:, None]
         return staged, masks, pad_sizes, gsizes
 
     staged = stage(0)
     for g0 in range(0, T, group):
         data, masks, pad_sizes, gsizes = staged
+        t0 = _time.perf_counter()
         if sparse:
             # log2(1 + x) fused into the O(nnz) scatter values — the
             # fold program then skips its dense log2 pass (one fewer
@@ -188,9 +208,23 @@ def process_folds_grouped(
         if g0 + group < T:
             staged = stage(g0 + group)
         out = jax.block_until_ready(out)
-        for gi, sz in enumerate(gsizes):
-            s = jax.tree.map(lambda a: a[gi], out)
-            results.append(summary_to_host(s, int(sz), forview=cfg.forview))
+        if timing is not None:
+            timing["device_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        results.extend(summaries_to_host(out, gsizes, cfg.forview))
+        if timing is not None:
+            timing["readback_s"] += _time.perf_counter() - t0
+    if timing is not None:
+        log(
+            "fold pass timing: "
+            + " ".join(f"{k}={v:.2f}" for k, v in timing.items())
+        )
+        sys_mod = __import__("sys")
+        print(
+            "[fold-timing] "
+            + " ".join(f"{k}={v:.2f}" for k, v in timing.items()),
+            file=sys_mod.stderr, flush=True,
+        )
     return results
 
 
@@ -337,10 +371,7 @@ def process_folds_sharded(
     )
     out = jax.block_until_ready(out)
 
-    results = []
-    for t in range(T):
-        s = jax.tree.map(lambda a: a[t], out)
-        results.append(summary_to_host(s, int(n_reals[t]), forview=cfg.forview))
+    results = summaries_to_host(out, n_reals[:T], cfg.forview)
     log(
         f"sharded fold pass: {T} folds over {ndata} data shards"
         + (f" x {n_ens} ens shards" if n_ens > 1 else "")
