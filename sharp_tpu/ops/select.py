@@ -169,6 +169,11 @@ def opt_hclust(
         store = (
             jnp.bfloat16 if linkage_backend == "rnn_bf16" else None
         )
+        # pair_cap stays at the default 128: widening it (256/512) was
+        # A/B-measured at the bench level and does NOT pay inside the
+        # fused fold program on representative data (512 was 29% SLOWER
+        # end-to-end despite a 1.65x standalone-linkage win on one
+        # synthetic; 256 was noise-level) — see PROFILE.md §4.
         link = ward_linkage_rnn(D, store_dtype=store)
     elif hmethod in ("ward.D",):
         link = ward_linkage(D)
