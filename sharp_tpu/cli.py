@@ -90,6 +90,12 @@ def main(argv=None):
     )
     pu.add_argument("--no-resume", action="store_true",
                     help="ignore any existing per-block manifest")
+    pu.add_argument(
+        "--forview", action="store_true",
+        help="keep per-cell viE/x0 view features through the streaming "
+        "path (re-projected to 50 view dims above 1e5 cells) so `embed` "
+        "works on the result",
+    )
     _add_knobs(pu)
 
     pm = sub.add_parser("markers", help="marker genes for a clustering")
@@ -124,11 +130,14 @@ def main(argv=None):
 
         res = sharp_unlimited(
             args.input, multihost=args.multihost,
-            resume=not args.no_resume, **_knobs(args),
+            resume=not args.no_resume, forview=args.forview,
+            **_knobs(args),
         )
         np.savez(
             args.out,
             pred_clusters=res.pred_clusters,
+            x0=res.x0 if res.x0 is not None else np.zeros(0),
+            viE=res.viE if res.viE is not None else np.zeros(0),
             paras=json.dumps(res.paras),
             timing=json.dumps(res.timing),
         )
@@ -152,8 +161,10 @@ def main(argv=None):
 
         with np.load(args.result, allow_pickle=True) as z:
             labels = z["pred_clusters"]
-            x0 = z["x0"] if z["x0"].size else None
-            viE = z["viE"] if z["viE"].size else None
+            x0 = z["x0"] if "x0" in z.files and z["x0"].size else None
+            viE = (
+                z["viE"] if "viE" in z.files and z["viE"].size else None
+            )
         res = SharpResult(
             pred_clusters=labels, N_pred_cluster=len(np.unique(labels)),
             unique_pred_clusters=[], distr_pred_clusters={},

@@ -156,3 +156,37 @@ def test_cli_error_paths(tmp_path):
                   "--out", str(tmp_path / "o.npz")])
     with pytest.raises(SystemExit):
         cli_main([])  # no subcommand
+
+
+def test_cli_unlimited_forview_embed(tmp_path):
+    """unlimited --forview carries viE/x0 into the result npz and `embed`
+    runs on it (the reference keeps per-block viE exactly so its
+    visualization works on unlimited results, R/SHARP_unlimited.R:216-235)."""
+    from sharp_tpu.io.blocks import save_blocks
+
+    X, y = make_tpm_like(n_cells=600, n_genes=400, n_types=4, seed=6)
+    bdir = str(tmp_path / "blocks")
+    save_blocks(bdir, [X[:200], X[200:400], X[400:]], fmt="sblk")
+    rpath = str(tmp_path / "res_u.npz")
+    assert cli_main([
+        "unlimited", bdir, "--out", rpath, "--rN-seed", "3",
+        "--ensize-K", "4", "--base-ncells", "150",
+        "--partition-ncells", "128", "--forview",
+    ]) == 0
+    with np.load(rpath, allow_pickle=True) as z:
+        assert z["viE"].shape[0] == 600
+        assert z["x0"].shape[0] == 600
+    epath = str(tmp_path / "emb.npz")
+    assert cli_main(["embed", rpath, "--out", epath]) == 0
+    with np.load(epath) as z:
+        assert z["embedding"].shape == (600, 2)
+
+    # a result WITHOUT view planes fails loud in embed (not KeyError)
+    r2 = str(tmp_path / "res_nv.npz")
+    assert cli_main([
+        "unlimited", bdir, "--out", r2, "--rN-seed", "3",
+        "--ensize-K", "4", "--base-ncells", "150",
+        "--partition-ncells", "128", "--no-resume",
+    ]) == 0
+    with pytest.raises(ValueError, match="forview"):
+        cli_main(["embed", r2, "--out", str(tmp_path / "e2.npz")])
