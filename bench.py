@@ -317,6 +317,41 @@ def main():
     gen_s = 0.0
     block_frs = [[] for _ in blocks]
 
+    # summary + truth readbacks are flushed in 8-group batches: each d2h
+    # pull is a round trip (~20-1000 ms latency on tunneled devices), so
+    # per-group pulls would idle the device between groups
+    pend_plans = []  # (plan, ys (GROUP, B) device)
+    pend_outs = []
+
+    def flush_pending():
+        if not pend_outs:
+            return
+        merged = (
+            pend_outs[0]
+            if len(pend_outs) == 1
+            else jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *pend_outs
+            )
+        )
+        ys_host = np.asarray(
+            jnp.concatenate([y for _, y in pend_plans], axis=0)
+        )
+        lane_sizes = []
+        for plan, _ in pend_plans:
+            lane_sizes += [sz for _, sz in plan]
+            lane_sizes += [0] * (GROUP - len(plan))
+        # selective bulk pull (skips the O(B x p) view planes; d2h on
+        # the tunneled TPU measures ~1 MB/s with high per-call latency)
+        frs = summaries_to_host(merged, lane_sizes, False)
+        li = 0
+        for plan, _ in pend_plans:
+            for gi, (bi, sz) in enumerate(plan):
+                truth.append(ys_host[li + gi][:sz])
+                block_frs[bi].append(frs[li + gi])
+            li += GROUP
+        pend_plans.clear()
+        pend_outs.clear()
+
     for g0 in range(0, T, GROUP):
         plan = fold_plan[g0 : g0 + GROUP]
         gsizes = [sz for _, sz in plan]
@@ -335,12 +370,11 @@ def main():
         # atomically, so this waits for the entire fold program
         np.asarray(out.n_meta)
         fold_pass_s += time.time() - t0
-        # selective bulk pull (skips the O(B x p) view planes; d2h on the
-        # tunneled TPU measures ~1 MB/s with high per-call latency)
-        frs = summaries_to_host(out, [sz for _, sz in plan], False)
-        for gi, (bi, sz) in enumerate(plan):
-            truth.append(np.asarray(ys[gi])[:sz])
-            block_frs[bi].append(frs[gi])
+        pend_plans.append((plan, jnp.stack(ys)))
+        pend_outs.append(out)
+        if len(pend_outs) >= 8:
+            flush_pending()
+    flush_pending()
     if profile_dir:
         jax.profiler.stop_trace()
     # everything downstream works on host summaries — release the multi-GB

@@ -182,6 +182,31 @@ def process_folds_grouped(
         masks = np.arange(block_pad)[None, :] < np.asarray(pad_sizes)[:, None]
         return staged, masks, pad_sizes, gsizes
 
+    # summaries are pulled in FLUSH-group batches: each pull is a d2h
+    # round trip (~20-1000 ms latency on tunneled devices), so per-group
+    # pulls cost ~7 round trips x T/group; batching divides that by
+    # FLUSH at ~40 MB of held device summaries per pending group
+    FLUSH = 8
+    pending_outs = []  # (FoldSummary (device, padded lanes), real sizes)
+
+    def flush_outs():
+        if not pending_outs:
+            return
+        if len(pending_outs) == 1:
+            merged, lane_sizes = pending_outs[0][0], list(pending_outs[0][1])
+            lane_sizes += [0] * (group - len(lane_sizes))
+        else:
+            merged = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *(o for o, _ in pending_outs),
+            )
+            lane_sizes = []
+            for _, gs in pending_outs:
+                lane_sizes += list(gs) + [0] * (group - len(gs))
+        frs = summaries_to_host(merged, lane_sizes, cfg.forview)
+        results.extend(fr for fr, s in zip(frs, lane_sizes) if s > 0)
+        pending_outs.clear()
+
     staged = stage(0)
     for g0 in range(0, T, group):
         data, masks, pad_sizes, gsizes = staged
@@ -211,9 +236,15 @@ def process_folds_grouped(
         if timing is not None:
             timing["device_s"] += _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        results.extend(summaries_to_host(out, gsizes, cfg.forview))
+        pending_outs.append((out, gsizes))
+        if len(pending_outs) >= FLUSH:
+            flush_outs()
         if timing is not None:
             timing["readback_s"] += _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    flush_outs()
+    if timing is not None:
+        timing["readback_s"] += _time.perf_counter() - t0
     if timing is not None:
         log(
             "fold pass timing: "
