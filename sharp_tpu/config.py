@@ -119,6 +119,14 @@ def resolve_config(
     cfg = SharpConfig(n_cells=n_cells, n_genes=n_genes)
     kw = dict(overrides)
 
+    # reference knobs that are meaningless on this backend, accepted for
+    # signature parity: n.cores sized the fork pool (R/SHARP.R:162-167)
+    # — parallelism here is the device mesh (`n_devices`) — and
+    # flashmark switched hclust implementations (R/get_opt_hclust.R:76-83)
+    # — backend selection here is `linkage_backend`.
+    kw.pop("n_cores", None)
+    kw.pop("flashmark", None)
+
     if not kw.get("reduced_ndim"):
         kw["reduced_ndim"] = default_reduced_ndim(n_cells)
     base_ncells = kw.get("base_ncells", cfg.base_ncells)

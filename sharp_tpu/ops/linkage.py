@@ -543,8 +543,15 @@ def ward_linkage_rnn(
 
             OHa = (ar[None, :] == a[:, None]).astype(st) * svf[:, None]
             OHb = (ar[None, :] == b[:, None]).astype(st) * svf[:, None]
-            Da = jnp.dot(OHa, D, preferred_element_type=dt, precision=hi)
-            Db = jnp.dot(OHb, D, preferred_element_type=dt, precision=hi)
+            # ONE stacked gather matmul: D (the round's dominant HBM
+            # operand) streams once instead of twice; each output row's
+            # dot product is computed identically, so results are
+            # bit-equal to separate Da/Db matmuls
+            Dab = jnp.dot(
+                jnp.concatenate([OHa, OHb], axis=0), D,
+                preferred_element_type=dt, precision=hi,
+            )
+            Da, Db = Dab[:P], Dab[P:]
             na = sizes[a] * sv.astype(dt)
             nb = sizes[b] * sv.astype(dt)
             h = jnp.where(sv, rowmin[a], BIG)

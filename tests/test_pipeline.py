@@ -86,3 +86,14 @@ def test_sharp_rM_injection():
 
     with pytest.raises(ValueError, match="rM has shape"):
         sharp(X, rM=np.zeros((X.shape[1], 7), np.float32), **kw)
+
+
+def test_reference_noop_knobs_accepted():
+    """`n.cores` / `flashmark` are reference knobs with no meaning on
+    this backend (fork-pool size -> device mesh; hclust impl switch ->
+    linkage_backend); they are accepted and ignored for signature parity
+    (R/SHARP.R:162-167, R/get_opt_hclust.R:76-83)."""
+    X, y = make_tpm_like(n_cells=150, n_genes=300, n_types=3, seed=9)
+    r1 = sharp(X, rN_seed=5, ensize_K=3)
+    r2 = sharp(X, rN_seed=5, ensize_K=3, n_cores=8, flashmark=True)
+    np.testing.assert_array_equal(r1.pred_clusters, r2.pred_clusters)
