@@ -735,16 +735,20 @@ def ward_linkage_rnn(
     # Mosaic rejects lane dims not aligned to the 128 tiling (the same
     # constraint that keeps misaligned problems off the serial Pallas
     # kernel, e.g. allc_pad=192 at K=4) — misaligned tail sizes keep the
-    # XLA while loop. Tails beyond 1024 also stay on XLA: even at one
-    # lane per grid step the kernel's (1, Cn, Cn) f32 intermediates
-    # exceed the VMEM envelope whose overflow HANGS the Mosaic compile
-    # (CLAUDE.md; ADVICE r03).
+    # XLA while loop. Larger tails also stay on XLA: the VMEM budget
+    # (linkage_pallas._tail_lchunk) would push the lane chunk under the
+    # 8-sublane tiling floor — Mosaic rejects the (LC, Cn) blocks, and
+    # an over-budget scratch HANGS the compile outright (CLAUDE.md;
+    # ADVICE r03). The XLA tail measures only ~10% slower at the
+    # default compact_n=256 anyway.
     if tail == "auto":
+        from sharp_tpu.ops.linkage_pallas import _tail_lchunk
+
         tail = (
             "pallas"
             if jax.default_backend() == "tpu"
             and lvl % 128 == 0
-            and lvl <= 1024
+            and _tail_lchunk(lvl) >= 8
             else "xla"
         )
     if tail in ("pallas", "pallas_interpret"):

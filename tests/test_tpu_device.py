@@ -91,6 +91,17 @@ def test_linkage_backends_production_shapes(tpu_backend, n_pad, n_real):
                     f"{tag} cut k={k} diverges from xla (ARI {a})"
                 )
 
+    if n_pad == 2048:
+        # compact_n > 256 (a public knob) must route its tail off the
+        # Pallas kernel — its VMEM-budgeted lane chunk falls under the
+        # 8-sublane tiling floor there (ADVICE r03; the failure modes
+        # are a Mosaic reject or a compile HANG)
+        res = jax.block_until_ready(
+            ward_linkage_rnn(D, store_dtype=jnp.bfloat16, compact_n=512)
+        )
+        errs = validate_merge_sequence(res.merges, res.heights, n_real, n_pad)
+        assert not errs, f"compact_n=512: {errs}"
+
     if n_pad <= 1024:
         from sharp_tpu.ops.linkage_pallas import ward_linkage_pallas
 
