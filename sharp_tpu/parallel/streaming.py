@@ -28,7 +28,6 @@ import numpy as np
 from sharp_tpu.config import SharpConfig, pad_dim, resolve_config
 from sharp_tpu.core.large import (
     fold_sizes,
-    fuse_folds,
     process_fold,
 )
 from sharp_tpu.core.smetac import smetac, smetac_range
@@ -138,14 +137,6 @@ def _block_view_features(frs: List[dict], R_view) -> np.ndarray:
         [np.asarray(fr["mean_proj"], np.float32) for fr in frs], axis=0
     )
     return viE @ R_view if R_view is not None else viE
-
-
-def _process_block(
-    Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None
-):
-    """Full per-block pipeline: fold pass + in-block sMetaC fuse."""
-    frs = _fold_pass(Xb, cfg, R_all, logf, mesh)
-    return _block_summary(fuse_folds(frs, cfg, n_total=Xb.shape[0]))
 
 
 def global_block_fuse(summaries, cfg: SharpConfig):
