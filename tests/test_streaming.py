@@ -278,3 +278,45 @@ def test_unlimited_single_sparse_matrix_degrades():
     res = sharp_unlimited([sp.csr_matrix(X)], rN_seed=4, ensize_K=4)
     ref = sharp_unlimited([X], rN_seed=4, ensize_K=4)
     np.testing.assert_array_equal(res.pred_clusters, ref.pred_clusters)
+
+
+def test_fold_triplets_wire_format_edges():
+    """Wire-format edges: uint16 cols only when genes fits, int32
+    fallback above 65536; empty rows skipped by the on-device row
+    derivation; fully-empty folds densify to zeros."""
+    import scipy.sparse as sp
+
+    from sharp_tpu.io.sparse import (
+        SparseBlock, densify_folds, fold_triplets, nnz_pad,
+    )
+
+    # genes > uint16 range -> int32 cols
+    G = 70000
+    X = sp.csr_matrix(
+        (np.asarray([1.5, 2.5], np.float32),
+         np.asarray([3, 69999], np.int32),
+         np.asarray([0, 1, 2], np.int64)),
+        shape=(2, G),
+    )
+    sb = SparseBlock.from_scipy(X)
+    counts, cols, vals = fold_triplets(sb, [0], [2], 8, nnz_pad(2, step=8))
+    assert cols.dtype == np.int32
+    dense = np.asarray(densify_folds(counts, cols, vals, block_pad=8, genes=G))
+    assert dense[0, 0, 3] == 1.5 and dense[0, 1, 69999] == 2.5
+    assert dense.sum() == 4.0
+
+    # middle rows empty + trailing pad rows; uint16 path
+    g2 = 500
+    indptr = np.asarray([0, 2, 2, 2, 5], np.int64)  # rows 1,2 empty
+    idx = np.asarray([10, 499, 0, 7, 450], np.int32)
+    dat = np.arange(1, 6, dtype=np.float32)
+    sb2 = SparseBlock(n=4, g=g2, indptr=indptr, indices=idx, data=dat)
+    counts, cols, vals = fold_triplets(sb2, [0], [4], 8, nnz_pad(5, step=8))
+    assert cols.dtype == np.uint16
+    dense = np.asarray(
+        densify_folds(counts, cols, vals, block_pad=8, genes=g2)
+    )[0]
+    ref = np.zeros((8, g2), np.float32)
+    ref[0, 10], ref[0, 499] = 1, 2
+    ref[3, 0], ref[3, 7], ref[3, 450] = 3, 4, 5
+    np.testing.assert_array_equal(dense, ref)
