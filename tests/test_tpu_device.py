@@ -261,3 +261,29 @@ def test_densify_production_shape_exact(tpu_backend):
 
     ref_log = np.asarray(jnp.log2(1.0 + jnp.asarray(ref)))
     np.testing.assert_allclose(dlog[:n], ref_log, rtol=0, atol=0)
+
+
+def test_streaming_forview_on_device(tpu_backend, tmp_path):
+    """forview=True through the streaming path ON THE CHIP: the view
+    planes ride the selective bulk readback (summaries_to_host) and the
+    embedding runs on the blocked result."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth import make_tpm_like
+
+    from sharp_tpu import sharp_unlimited
+    from sharp_tpu.analysis.embed import visualization_embedding
+    from sharp_tpu.io.blocks import save_blocks
+
+    X, y = make_tpm_like(n_cells=1000, n_genes=600, n_types=5, seed=41)
+    d = str(tmp_path / "sblk")
+    save_blocks(d, [X[:400], X[400:700], X[700:]], fmt="sblk")
+    res = sharp_unlimited(
+        d, rN_seed=19, ensize_K=4, partition_ncells=250, base_ncells=300,
+        dtype_compute="bfloat16", resume=False, forview=True,
+    )
+    assert res.viE is not None and res.viE.shape[0] == 1000
+    assert res.x0 is not None and res.x0.shape == (1000, res.N_pred_cluster)
+    emb, idx = visualization_embedding(res, n_iter=50)
+    assert emb.shape == (1000, 2) and np.isfinite(emb).all()
