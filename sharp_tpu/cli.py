@@ -133,7 +133,9 @@ def main(argv=None):
             resume=not args.no_resume, forview=args.forview,
             **_knobs(args),
         )
-        np.savez(
+        # compressed: the forview x0 plane is (n_cells, n_glob) and
+        # mostly zeros — ~1.4 GB raw at flagship scale (ADVICE r04)
+        np.savez_compressed(
             args.out,
             pred_clusters=res.pred_clusters,
             x0=res.x0 if res.x0 is not None else np.zeros(0),

@@ -4,9 +4,15 @@ The reference streams dense RDS blocks and R densifies on the host
 (R/SHARP_unlimited3.R:103-131). On TPU the bottleneck is host->device
 bandwidth, not FLOPs (SURVEY.md §7.3 item 6): a 50k x 28k f32 block is
 5.6 GB dense but ~0.5-1 GB as CSR triplets at single-cell densities, so
-the streaming path transfers the sparse form and scatters it into the
-padded dense fold on device (one XLA scatter with sorted/unique index
-hints), fusing log2(1+x) into the fold program as before.
+the streaming path ships a compact wire format — per-row COUNTS plus
+uint16 column ids (int32 fallback past 65535 genes) plus f32 values,
+~6 B/nnz — derives row ids on device from the counts, and scatters into
+the padded dense fold with a plain hint-free XLA scatter, with log2(1+x)
+fused into the scatter values. NEVER pass `indices_are_sorted=True` /
+`unique_indices=True` here: the TPU lowering returns silently wrong
+values at production shapes (~98% of 4M nnz corrupted at 2000 x 27998)
+while small shapes round-trip fine — see CLAUDE.md and the hardware-lane
+regression test_densify_production_shape_exact.
 
 Numerically exact: the scatter places the same f32 values a host densify
 would, so sparse-fed and dense-fed runs produce bit-identical labels

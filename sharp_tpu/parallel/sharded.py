@@ -50,14 +50,21 @@ def hbm_budget_bytes() -> int:
     env = os.environ.get("SHARP_TPU_HBM_BUDGET")
     if env:
         return int(env)
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
+    # min over local devices: on a heterogeneous multi-chip host the
+    # fullest device bounds what a replicated/sharded group can stage
+    best = None
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            continue
         limit = int(stats.get("bytes_limit", 0))
         in_use = int(stats.get("bytes_in_use", 0))
         if limit > 0:
-            return max(int(0.8 * (limit - in_use)), 1 << 28)
-    except Exception:
-        pass
+            free = limit - in_use
+            best = free if best is None else min(best, free)
+    if best is not None:
+        return max(int(0.8 * best), 1 << 28)
     return 8 << 30
 
 

@@ -491,8 +491,18 @@ def sharp_unlimited(
         # map this host's cells through their blocks' global offsets
         n_glob = len(order)
         parts = []
-        x0_parts = []
         viE_parts = []
+        # x0 votes accumulate column-wise straight into ONE preallocated
+        # (my_cells, n_glob) array: the per-block (Cb, n_glob) one-hot
+        # matmul + concat of earlier rounds materialized every block's
+        # dense product twice (~2x the final 1.4 GB at flagship scale,
+        # ADVICE r04); column adds touch only the <= Cb live columns
+        have_x0 = any(x0c is not None for _, _, _, x0c, _ in block_results)
+        x0_all = None
+        if have_x0:
+            my_cells = sum(len(l) for l, _, _, _, _ in block_results)
+            x0_all = np.zeros((my_cells, n_glob), np.float32)
+        row0 = 0
         for bi, (labels, _, _, x0c, viE_b) in zip(my_blocks, block_results):
             parts.append(remap[tf[offsets[bi] + labels]])
             if x0c is not None:
@@ -501,16 +511,16 @@ def sharp_unlimited(
                 # core/large._finish_block's x0 remap
                 Cb = x0c.shape[1]
                 gcol = remap[tf[offsets[bi] + np.arange(Cb)]] - 1
-                M = np.zeros((Cb, n_glob), np.float32)
-                M[np.arange(Cb), gcol] = 1.0
-                x0_parts.append(x0c @ M)
+                rows = slice(row0, row0 + x0c.shape[0])
+                for c in range(Cb):
+                    x0_all[rows, gcol[c]] += x0c[:, c]
+            row0 += len(labels)
             if viE_b is not None:
                 viE_parts.append(viE_b)
         final = (
             np.concatenate(parts).astype(np.int32)
             if parts else np.zeros((0,), np.int32)
         )
-        x0_all = np.concatenate(x0_parts, axis=0) if x0_parts else None
         viE_all = np.concatenate(viE_parts, axis=0) if viE_parts else None
         vals = np.arange(1, n_glob + 1)  # global ids, size-ordered
         cnts = meta_sizes[order].astype(np.int64)

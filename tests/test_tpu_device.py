@@ -80,12 +80,14 @@ def test_linkage_backends_production_shapes(tpu_backend, n_pad, n_real):
                 # beyond the 12 planted types a cut splits near-duplicate
                 # substructure whose margins sit below bf16 store
                 # resolution — which split the tree makes is
-                # rounding-determined (measured 0.802 at k=20 on BOTH the
-                # r03 and r04 ladders; k <= true structure is exactly
-                # 1.0). The bf16 backend's contract is ARI-equivalence at
-                # structure-level cuts, not bit-equality at
-                # super-resolution ones.
-                assert a > 0.7, f"{tag} cut k={k} vs xla (ARI {a})"
+                # rounding-determined (measured 0.802 at k=20 on the
+                # r03, r04 AND r05 ladders; k <= true structure is
+                # exactly 1.0). The bf16 backend's contract is
+                # ARI-equivalence at structure-level cuts, not
+                # bit-equality at super-resolution ones. Gate pinned
+                # just under the stable measured value so a genuine
+                # fine-cut regression cannot hide (ADVICE r04).
+                assert a > 0.78, f"{tag} cut k={k} vs xla (ARI {a})"
             else:
                 assert a > 0.999, (
                     f"{tag} cut k={k} diverges from xla (ARI {a})"
