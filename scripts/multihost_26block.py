@@ -1,10 +1,14 @@
-"""26-block 2-process multihost streaming run at the flagship block count.
+"""26-block 2-process multihost streaming runs at the flagship block count.
 
-VERDICT r03 next #6: the 2-process gloo tests (tests/test_multihost.py)
-exercise 2-3 blocks; the reference's flagship run is 26 blocks
-(25 x 50,000 + 56,127, reference README.md:287-303). This script proves,
-at the REAL block count (genes kept small so it runs on CPU in minutes):
+VERDICT r03 next #6 + r04 next #4: the 2-process gloo tests
+(tests/test_multihost.py) exercise 2-3 blocks; the reference's flagship
+run is 26 blocks (25 x 50,000 + 56,127, reference README.md:287-303).
+This script proves, at the REAL block count (genes kept small so it runs
+on CPU in minutes), TWO configurations:
 
+MECHANICS config (n_cells DECLARED at the reference's 1,306,127 so the
+>= 1e6 smetac_range widening is live — the explicit n_cells override is
+the documented "this host sees a slice" hook):
   * the contiguous block-slice assignment (13 blocks per process),
   * the widened >= 1e6-cell allgather summary budget
     (smetac_range's maxN -> n/5000 floor, R/sMetaC.R:103-119) holding
@@ -13,7 +17,13 @@ at the REAL block count (genes kept small so it runs on CPU in minutes):
     resumes every block from its manifest and reproduces identical labels,
   * combined 2-process labels == single-process labels, bit-exact.
 
-Writes scripts/out/multihost_26block.json (committed as the run record).
+QUALITY config (n_cells declared = the 52,000 actual cells, so the
+widened floor is NOT tripped and sMetaC searches the honest range):
+  * 2-process clustering quality: ARI vs the 10 planted types >= 0.9,
+  * combined 2-process labels == single-process labels, bit-exact.
+
+Writes scripts/out/multihost_26block.json (mechanics) and
+scripts/out/multihost_26block_quality.json (committed run records).
 
 Usage: python scripts/multihost_26block.py            # driver
        python scripts/multihost_26block.py worker ... # internal
@@ -29,17 +39,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# 26 blocks x 2,000 cells; n_cells DECLARED at the reference's 1,306,127
-# so the >= 1e6 smetac_range widening is live (the explicit n_cells
-# override is the documented "this host sees a slice" hook,
-# sharp_tpu/parallel/streaming.py). Genes kept small for CPU wall clock.
 N_BLOCKS = 26
 BLOCK_CELLS = 2000
 N_GENES = 400
-DECLARED_CELLS = 1_306_127
+DECLARED_CELLS = 1_306_127  # mechanics config only
 KW = dict(
     rN_seed=3, ensize_K=3, reduced_ndim=48, base_ncells=200,
-    partition_ncells=250, n_cells=DECLARED_CELLS,
+    partition_ncells=250,
 )
 
 
@@ -61,6 +67,7 @@ def make_dataset(d):
 
 def worker():
     pid, port, ddir, out = sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5]
+    declared, mdir = sys.argv[6], sys.argv[7]
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
     os.environ["JAX_NUM_PROCESSES"] = "2"
@@ -74,15 +81,18 @@ def worker():
 
     from sharp_tpu import sharp_unlimited
 
+    kw = dict(KW)
+    if declared != "actual":
+        kw["n_cells"] = int(declared)
     t0 = time.time()
-    r = sharp_unlimited(ddir, multihost=True, **KW)
+    r = sharp_unlimited(ddir, multihost=True, manifest_dir=mdir, **kw)
     np.savez(
         out, labels=r.pred_clusters, n=r.N_pred_cluster,
         seconds=time.time() - t0,
     )
 
 
-def run_pair(ddir, outdir, tag):
+def run_pair(ddir, outdir, tag, declared, mdir):
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
@@ -94,7 +104,8 @@ def run_pair(ddir, outdir, tag):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", str(pid),
-             str(port), ddir, os.path.join(outdir, f"{tag}_p{pid}.npz")],
+             str(port), ddir, os.path.join(outdir, f"{tag}_p{pid}.npz"),
+             declared, mdir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
@@ -112,6 +123,18 @@ def run_pair(ddir, outdir, tag):
     ]
 
 
+def single_ref(ddir, declared):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sharp_tpu import sharp_unlimited
+
+    kw = dict(KW)
+    if declared != "actual":
+        kw["n_cells"] = int(declared)
+    return sharp_unlimited(ddir, multihost=False, resume=False, **kw)
+
+
 def main():
     import numpy as np
 
@@ -121,33 +144,32 @@ def main():
     ddir = os.path.join(work, "blocks")
     print(f"generating {N_BLOCKS} SBLK blocks in {ddir} ...")
     y = make_dataset(ddir)
+    outdir = os.path.join(REPO, "scripts", "out")
+    os.makedirs(outdir, exist_ok=True)
+    from sklearn.metrics import adjusted_rand_score
 
-    print("pass 1: 2-process cold run over 26 blocks ...")
+    # ---- mechanics config: declared 1.3M, resume + bit-equality ---------
+    decl = str(DECLARED_CELLS)
+    mdir = os.path.join(work, "manifest_mech")
+    print("mechanics pass 1: 2-process cold run over 26 blocks ...")
     t0 = time.time()
-    p0, p1 = run_pair(ddir, work, "cold")
+    p0, p1 = run_pair(ddir, work, "cold", decl, mdir)
     cold_s = time.time() - t0
     combined = np.concatenate([p0["labels"], p1["labels"]])
     assert int(p0["n"]) == int(p1["n"]), "hosts disagree on cluster count"
 
-    manifest = os.path.join(ddir, ".sharp_manifest")
-    n_manifests = len(os.listdir(manifest))
+    n_manifests = len(os.listdir(mdir))
     assert n_manifests == N_BLOCKS, (n_manifests, N_BLOCKS)
 
-    print("pass 2: 2-process resume run (all blocks from manifest) ...")
+    print("mechanics pass 2: 2-process resume run (all from manifest) ...")
     t0 = time.time()
-    q0, q1 = run_pair(ddir, work, "resume")
+    q0, q1 = run_pair(ddir, work, "resume", decl, mdir)
     resume_s = time.time() - t0
     resumed = np.concatenate([q0["labels"], q1["labels"]])
     np.testing.assert_array_equal(combined, resumed)
 
-    print("single-process reference ...")
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    from sharp_tpu import sharp_unlimited
-    from sklearn.metrics import adjusted_rand_score
-
-    ref = sharp_unlimited(ddir, multihost=False, resume=False, **KW)
+    print("mechanics: single-process reference ...")
+    ref = single_ref(ddir, decl)
     np.testing.assert_array_equal(ref.pred_clusters, combined)
     ari = float(adjusted_rand_score(y, combined))
 
@@ -162,7 +184,8 @@ def main():
             "floor (26) above the 10 planted types — the widened-range "
             "over-clustering is the exercised reference behavior "
             "(R/sMetaC.R:103-119), so a low ARI here is by design; this "
-            "script proves multihost mechanics, not clustering quality"
+            "config proves multihost mechanics — see "
+            "multihost_26block_quality.json for the quality config"
         ),
         "two_process_equals_single_process": True,
         "resume_equals_cold": True,
@@ -171,11 +194,44 @@ def main():
         "resume_seconds": round(resume_s, 1),
         "worker_seconds": [float(p0["seconds"]), float(p1["seconds"])],
     }
-    outdir = os.path.join(REPO, "scripts", "out")
-    os.makedirs(outdir, exist_ok=True)
     with open(os.path.join(outdir, "multihost_26block.json"), "w") as fh:
         json.dump(rec, fh, indent=1)
     print(json.dumps(rec, indent=1))
+
+    # ---- quality config: declared == actual, ARI gate -------------------
+    # (VERDICT r04 next #4: a multi-process run must demonstrate correct
+    # clustering quality, not just barriers/allgather/resume)
+    mdir_q = os.path.join(work, "manifest_qual")
+    print("quality pass: 2-process run, declared == actual cells ...")
+    t0 = time.time()
+    r0, r1 = run_pair(ddir, work, "qual", "actual", mdir_q)
+    qual_s = time.time() - t0
+    combined_q = np.concatenate([r0["labels"], r1["labels"]])
+    assert int(r0["n"]) == int(r1["n"]), "hosts disagree on cluster count"
+
+    print("quality: single-process reference ...")
+    ref_q = single_ref(ddir, "actual")
+    np.testing.assert_array_equal(ref_q.pred_clusters, combined_q)
+    ari_q = float(adjusted_rand_score(y, combined_q))
+    assert ari_q >= 0.9, f"quality-config ARI {ari_q:.4f} < 0.9"
+
+    rec_q = {
+        "n_blocks": N_BLOCKS,
+        "cells_per_block": BLOCK_CELLS,
+        "declared_n_cells": N_BLOCKS * BLOCK_CELLS,
+        "n_planted_types": 10,
+        "n_clusters": int(r0["n"]),
+        "ari_vs_planted": round(ari_q, 4),
+        "ari_gate": 0.9,
+        "two_process_equals_single_process": True,
+        "cold_seconds": round(qual_s, 1),
+        "worker_seconds": [float(r0["seconds"]), float(r1["seconds"])],
+    }
+    with open(
+        os.path.join(outdir, "multihost_26block_quality.json"), "w"
+    ) as fh:
+        json.dump(rec_q, fh, indent=1)
+    print(json.dumps(rec_q, indent=1))
 
 
 if __name__ == "__main__":

@@ -459,11 +459,12 @@ def ward_linkage_deferred(
 
 @functools.partial(
     jax.jit, static_argnames=("pair_cap", "store_dtype", "compact_n",
-                              "compact_cap", "tail")
+                              "compact_cap", "tail", "round_impl")
 )
 def ward_linkage_rnn(
     D: jax.Array, pair_cap: int = 128, store_dtype=None,
     compact_n: int = 256, compact_cap: int = 32, tail: str = "auto",
+    round_impl: str = "auto",
 ) -> LinkageResult:
     """ward.D agglomeration by reciprocal-nearest-neighbor rounds — the
     data-parallel formulation.
@@ -510,6 +511,16 @@ def ward_linkage_rnn(
     previous record (`lasth`), so the stable height sort that recovers
     the serial merge order stays topological even when bf16 storage
     rounds a parent height just below its child's.
+
+    `round_impl` selects the round's full-matrix machinery: "xla" is the
+    scatter-matmul sequence described above (the semantic reference);
+    "pallas" fuses the scatter AND the next round's row-minimum pass
+    into one streaming kernel (ops/linkage_pallas.rnn_round_scatter) —
+    1 read + 1 write of the matrix per round instead of ~5 passes, with
+    bit-identical output (the pair logic and newrows arithmetic are the
+    SAME code; the kernel only applies them). "auto" uses the kernel on
+    TPU for 128-aligned levels; "pallas_interpret" runs it in
+    interpreter mode (CPU tests).
     """
     n = D.shape[-1]
     dt = jnp.float32
@@ -522,15 +533,46 @@ def ward_linkage_rnn(
     mbuf = n - 1 + max(P1, P2)
     bigst = jnp.asarray(BIG, st)
 
-    def make_body(n_loc, P):
+    # round machinery resolution: the fused Pallas round needs
+    # 128-aligned lane dims and tiling-aligned pair slabs at each level
+    if round_impl in ("pallas", "pallas_interpret"):
+        fused_want = True
+    elif round_impl == "auto":
+        fused_want = jax.default_backend() == "tpu"
+    else:
+        fused_want = False
+    round_interp = round_impl == "pallas_interpret"
+    sub_align = 16 if jnp.dtype(st).itemsize == 2 else 8
+
+    def level_fused(n_loc, P):
+        return bool(
+            fused_want and n_loc % 128 == 0 and P % sub_align == 0 and P >= 8
+        )
+
+    def row_cache(Dm, fused):
+        """(rowmin, rowarg) carried between fused rounds; dummies else."""
+        m = Dm.shape[-1]
+        if not fused:
+            return jnp.zeros((m,), dt), jnp.zeros((m,), jnp.int32)
+        return (
+            jnp.min(Dm, axis=1).astype(dt),
+            jnp.argmin(Dm, axis=1).astype(jnp.int32),
+        )
+
+    def make_body(n_loc, P, fused=False):
         ar = jnp.arange(n_loc)
         arP = jnp.arange(P)
 
         def body(c):
-            D, alive, sizes, gidx, lasth, merges, heights, rounds, cnt = c
+            (D, alive, sizes, gidx, lasth, merges, heights, rounds, cnt,
+             rmin, rarg) = c
             af = alive
-            rowmin = jnp.min(D, axis=1).astype(dt)
-            nn = jnp.argmin(D, axis=1).astype(jnp.int32)
+            if fused:
+                rowmin = rmin
+                nn = rarg
+            else:
+                rowmin = jnp.min(D, axis=1).astype(dt)
+                nn = jnp.argmin(D, axis=1).astype(jnp.int32)
             pp = nn[nn]
             mutual = (pp == ar) & af & (rowmin < 0.5 * BIG)
             lead = mutual & (ar < nn)
@@ -603,18 +645,32 @@ def ward_linkage_rnn(
                 selfm | dying[None, :] | ~af[None, :], bigst, newrows_st
             )
 
-            rowsfull = jnp.dot(
-                OHa.T, newrows_st, preferred_element_type=st, precision=hi
-            )
-            colsfull = jax.lax.dot_general(
-                newrows_st, OHa,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=st,
-                precision=hi,
-            )
-            D = jnp.where(cola[:, None], rowsfull, D)
-            D = jnp.where(cola[None, :] & ~cola[:, None], colsfull, D)
-            D = jnp.where(dying[:, None] | dying[None, :], bigst, D)
+            if fused:
+                from sharp_tpu.ops.linkage_pallas import rnn_round_scatter
+
+                # pair slot of each lead lane (exact small ints in f32)
+                rank = jnp.sum(
+                    OHa.astype(dt) * arP.astype(dt)[:, None], axis=0
+                )
+                D, rmin_new, rarg_new = rnn_round_scatter(
+                    D, newrows_st, cola.astype(dt), rank,
+                    dying.astype(dt), interpret=round_interp,
+                )
+            else:
+                rowsfull = jnp.dot(
+                    OHa.T, newrows_st, preferred_element_type=st,
+                    precision=hi,
+                )
+                colsfull = jax.lax.dot_general(
+                    newrows_st, OHa,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=st,
+                    precision=hi,
+                )
+                D = jnp.where(cola[:, None], rowsfull, D)
+                D = jnp.where(cola[None, :] & ~cola[:, None], colsfull, D)
+                D = jnp.where(dying[:, None] | dying[None, :], bigst, D)
+                rmin_new, rarg_new = rmin, rarg
 
             alive = af & ~dying
             sizes = sizes + jnp.dot(
@@ -658,12 +714,13 @@ def ward_linkage_rnn(
             )
             heights = jnp.where(row_hit, new_h, heights)
             return (D, alive, sizes, gidx, lasth, merges, heights,
-                    rounds + 1, cnt + n_pairs)
+                    rounds + 1, cnt + n_pairs, rmin_new, rarg_new)
 
         return body
 
     merges0 = jnp.zeros((mbuf, 2), jnp.int32)
     heights0 = jnp.zeros((mbuf,), dt)
+    first_fused = n > C and level_fused(n, min(pair_cap, max(n // 2, 1)))
     state = (
         D,
         jnp.ones((n,), bool),
@@ -674,11 +731,13 @@ def ward_linkage_rnn(
         heights0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        *row_cache(D, first_fused),
     )
 
-    def compact_to(state, n_from, Cn):
+    def compact_to(state, n_from, Cn, next_fused):
         """Gather the <= Cn survivors into a (Cn, Cn) subproblem."""
-        D1, alive, sizes, gidx, lasth, merges, heights, rounds, cnt = state
+        (D1, alive, sizes, gidx, lasth, merges, heights, rounds, cnt,
+         _rm, _ra) = state
         n_alive = jnp.sum(alive.astype(jnp.int32))
         surv = jnp.nonzero(alive, size=Cn, fill_value=0)[0].astype(jnp.int32)
         svC = jnp.arange(Cn) < n_alive
@@ -704,7 +763,7 @@ def ward_linkage_rnn(
         gidx2 = jnp.where(svC, gidx[surv], 0).astype(jnp.int32)
         lasth2 = jnp.where(svC, lasth[surv], 0.0)
         return (D2, svC, sizes2, gidx2, lasth2, merges, heights,
-                jnp.asarray(0, jnp.int32), cnt)
+                jnp.asarray(0, jnp.int32), cnt, *row_cache(D2, next_fused))
 
     # ladder: at each size level, run rounds only until the survivors fit
     # the next (half-size) level, then compact down. The level cap
@@ -714,15 +773,18 @@ def ward_linkage_rnn(
     lvl = n
     while lvl > C:
         nxt = max(lvl // 2, C)
+        P_lvl = min(pair_cap, lvl // 2)
+        nxt_P = min(pair_cap, nxt // 2) if nxt > C else P2
+        nxt_fused = level_fused(nxt, nxt_P) and nxt > C
 
         def cond_lvl(c, nxt=nxt):
             n_alive = jnp.sum(c[1].astype(jnp.int32))
             return (c[8] < n - 1) & (n_alive > nxt) & (c[7] < n)
 
         state = jax.lax.while_loop(
-            cond_lvl, make_body(lvl, min(pair_cap, lvl // 2)), state
+            cond_lvl, make_body(lvl, P_lvl, level_fused(lvl, P_lvl)), state
         )
-        state = compact_to(state, lvl, nxt)
+        state = compact_to(state, lvl, nxt, nxt_fused)
         lvl = nxt
 
     # --- tail: drain the compacted subproblem -----------------------------
@@ -754,7 +816,8 @@ def ward_linkage_rnn(
     if tail in ("pallas", "pallas_interpret"):
         from sharp_tpu.ops.linkage_pallas import rnn_tail_pallas
 
-        D1, aliveb, sizes1, gidx1, lasth1, merges, heights, _, cnt = state
+        (D1, aliveb, sizes1, gidx1, lasth1, merges, heights, _, cnt,
+         _rm, _ra) = state
         mi, mj, hh = rnn_tail_pallas(
             D1, aliveb.astype(dt), sizes1, gidx1, lasth1,
             interpret=(tail == "pallas_interpret"),

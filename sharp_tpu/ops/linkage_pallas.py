@@ -680,6 +680,189 @@ def rnn_tail_pallas(
     return mi[0], mj[0], hh[0]
 
 
+def _round_scatter_kernel(
+    D_blk, NR_full, NR_strip, cola_f, rank_f, dying_f,
+    cola_s, rank_s, dying_s,
+    Dout, rmin_out, rarg_out,
+):
+    """One reciprocal-NN round's row/column scatter + next-round row
+    minima, fused into a single streaming pass over the matrix.
+
+    The XLA formulation of a round (ops/linkage.py ward_linkage_rnn)
+    costs ~5 full-matrix HBM passes: the rowsfull/colsfull one-hot
+    matmuls each materialize an (n, n) product, a where-chain reads
+    D + both products and rewrites D, and the next round re-reads D for
+    its row minima. Here one grid step processes one (R, n) row strip:
+    the merged pairs' fresh rows land via two SMALL one-hot contractions
+    ((R, P) x (P, n) rows; (P, R) x (P, n) columns — the strip's column
+    entries of pair p are newrows[p, r], i.e. a lane window of newrows,
+    no transpose of the big operand), dying rows/columns die in the same
+    register pass, the strip is written back once, and its row
+    min/argmin (over the STORE-ROUNDED values, matching what the XLA
+    round's jnp.min(D) would read next round) are emitted as the next
+    round's cache. Per round: 1 read + 1 write of D instead of ~5.
+
+    Exactness: the one-hot contractions carry a single nonzero per
+    output element, so any matmul precision reproduces the stored
+    newrows values bit-exactly — the round is bit-identical to the XLA
+    scatter (test-pinned, tests/test_linkage.py).
+
+    Masks arrive as f32 lane vectors ((1, n) full + (1, R) strip views
+    of the same arrays): cola = surviving pair leads, rank = pair slot
+    of a lead lane, dying = merged-away lanes.
+    """
+    R, n = D_blk.shape[1], D_blk.shape[2]
+    P = NR_full.shape[1]
+    st = D_blk.dtype
+
+    S = D_blk[0]                                    # (R, n) st
+    NR = NR_full[0]                                 # (P, n) st
+    win = NR_strip[0]                               # (P, R) st
+    colaF = cola_f[0]                               # (1, n) f32
+    rankF = rank_f[0]
+    dyingF = dying_f[0]
+    leadR = jnp.transpose(cola_s[0], (1, 0))        # (R, 1)
+    rankR = jnp.transpose(rank_s[0], (1, 0))
+    dyingR = jnp.transpose(dying_s[0], (1, 0))
+
+    hi = jax.lax.Precision.HIGHEST
+
+    # lead rows: row r (a pair's surviving lead) takes newrows[rank[r], :]
+    iotaP_col = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
+    OHrow = (
+        (rankR.astype(jnp.int32) == iotaP_col) & (leadR > 0.5)
+    ).astype(st)                                    # (R, P)
+    leadrows = jax.lax.dot_general(
+        OHrow, NR, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                               # (R, n) f32, exact
+
+    # lead columns: entry (r, c) for lead column c is newrows[rank[c], r]
+    # — a lane-window of newrows contracted against the column one-hot
+    iotaP_row = jax.lax.broadcasted_iota(jnp.int32, (P, n), 0)
+    OHcol = (
+        (rankF.astype(jnp.int32) == iotaP_row) & (colaF > 0.5)
+    ).astype(st)                                    # (P, n)
+    colvals = jax.lax.dot_general(
+        win, OHcol, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                               # (R, n) f32, exact
+
+    Sf = S.astype(jnp.float32)
+    out = jnp.where(
+        leadR > 0.5, leadrows,
+        jnp.where(colaF > 0.5, colvals, Sf),
+    )
+    out = jnp.where((dyingR > 0.5) | (dyingF > 0.5), BIG, out)
+    out_st = out.astype(st)
+    Dout[0] = out_st
+
+    # next-round row cache over the STORED values (first-index argmin,
+    # matching jnp.argmin's tie rule)
+    of = out_st.astype(jnp.float32)
+    mn = jnp.min(of, axis=1, keepdims=True)         # (R, 1)
+    colN = jax.lax.broadcasted_iota(jnp.int32, (R, n), 1)
+    am = jnp.min(
+        jnp.where(of == mn, colN, n), axis=1, keepdims=True
+    )                                               # (R, 1)
+    rmin_out[:, :] = jnp.transpose(mn, (1, 0))
+    rarg_out[:, :] = jnp.transpose(am, (1, 0))
+
+
+def _round_scatter_invoke(D, NR, cola, rank, dying, interpret):
+    L, n, _ = D.shape
+    P = NR.shape[1]
+    R = 256 if n % 256 == 0 else 128
+    Sg = n // R
+    grid = (L, Sg)
+    vec = lambda a: a.reshape(L, 1, n)
+    cola3, rank3, dying3 = vec(cola), vec(rank), vec(dying)
+    return pl.pallas_call(
+        _round_scatter_kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, n, n), D.dtype),
+            jax.ShapeDtypeStruct((L, n), jnp.float32),
+            jax.ShapeDtypeStruct((L, n), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, R, n), lambda l, s: (l, s, 0)),   # D strip
+            pl.BlockSpec((1, P, n), lambda l, s: (l, 0, 0)),   # newrows
+            pl.BlockSpec((1, P, R), lambda l, s: (l, 0, s)),   # lane window
+            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),   # cola full
+            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),   # rank full
+            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),   # dying full
+            pl.BlockSpec((1, 1, R), lambda l, s: (l, 0, s)),   # cola strip
+            pl.BlockSpec((1, 1, R), lambda l, s: (l, 0, s)),   # rank strip
+            pl.BlockSpec((1, 1, R), lambda l, s: (l, 0, s)),   # dying strip
+        ],
+        out_specs=(
+            pl.BlockSpec((1, R, n), lambda l, s: (l, s, 0)),
+            pl.BlockSpec((1, R), lambda l, s: (l, s)),
+            pl.BlockSpec((1, R), lambda l, s: (l, s)),
+        ),
+        input_output_aliases={0: 0},  # D is updated in place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(D, NR, NR, cola3, rank3, dying3, cola3, rank3, dying3)
+
+
+_ROUND_CALLS = {}
+
+
+def _get_round_call(interpret: bool):
+    """custom_vmap wrapper: batch axes fold into the kernel's lane axis."""
+    if interpret not in _ROUND_CALLS:
+
+        @jax.custom_batching.custom_vmap
+        def call(D, NR, cola, rank, dying):
+            return _round_scatter_invoke(D, NR, cola, rank, dying, interpret)
+
+        @call.def_vmap
+        def _rule(axis_size, in_batched, D, NR, cola, rank, dying):
+            args = []
+            for a, b in zip((D, NR, cola, rank, dying), in_batched):
+                if not b:
+                    a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+                args.append(a.reshape((-1,) + a.shape[2:]))
+            B = axis_size
+            Dn, rm, ra = call(*args)
+            out = tuple(
+                o.reshape((B, -1) + o.shape[1:]) for o in (Dn, rm, ra)
+            )
+            return out, (True, True, True)
+
+        _ROUND_CALLS[interpret] = call
+    return _ROUND_CALLS[interpret]
+
+
+def rnn_round_scatter(
+    D_st: jax.Array,      # (n, n) storage dtype, pre-round matrix
+    newrows_st: jax.Array,  # (P, n) storage dtype, masked fresh pair rows
+    cola: jax.Array,      # (n,) f32 1.0 at surviving pair-lead lanes
+    rank: jax.Array,      # (n,) f32 pair slot of a lead lane (else 0)
+    dying: jax.Array,     # (n,) f32 1.0 at merged-away lanes
+    interpret: bool = False,
+):
+    """Fused round scatter for the reciprocal-NN ladder.
+
+    Returns (D_new (n, n) st, rowmin (n,) f32, rowarg (n,) int32):
+    exactly the matrix the XLA round's rowsfull/colsfull/where sequence
+    produces, plus the row min/argmin the NEXT round would compute from
+    it. Called under vmap (members x folds); the custom_vmap rule folds
+    batches into the kernel's lane grid axis.
+    """
+    Dn, rm, ra = _get_round_call(interpret)(
+        D_st[None], newrows_st[None],
+        cola.astype(jnp.float32)[None],
+        rank.astype(jnp.float32)[None],
+        dying.astype(jnp.float32)[None],
+    )
+    return Dn[0], rm[0], ra[0]
+
+
 def _cutree_kernel(minN: int, ncand: int, ncand_pad: int):
     def kernel(nr_ref, m_ref, snaps_ref):
         n = m_ref.shape[2]

@@ -361,6 +361,50 @@ class TestRNNLinkage:
             np.asarray(c1.labels), np.asarray(c2.labels)
         )
 
+    @pytest.mark.parametrize("st", [None, "bf16"])
+    def test_fused_round_bit_identical(self, st):
+        """The fused Pallas round scatter (rnn_round_scatter, the TPU
+        production round for n_pad > 1024 — interpreted here) must be
+        BIT-identical to the XLA rowsfull/colsfull scatter sequence:
+        same merges, same heights, both storage dtypes, including the
+        ladder compaction boundary and the vmapped (custom_vmap) form."""
+        from sharp_tpu.ops.linkage import (
+            validate_merge_sequence,
+            ward_linkage_rnn,
+        )
+
+        std = jnp.bfloat16 if st == "bf16" else None
+        rng = np.random.default_rng(7)
+        n, nreal = 512, 490
+        types = rng.integers(0, 9, nreal)
+        cents = rng.normal(size=(9, 48)) * 3.0
+        X = np.zeros((n, 48), np.float32)
+        X[:nreal] = cents[types] + rng.normal(size=(nreal, 48))
+        mask = jnp.asarray(np.arange(n) < nreal)
+        D = pearson_distance(standardize_rows(jnp.asarray(X), mask), mask)
+        r1 = ward_linkage_rnn(D, store_dtype=std, round_impl="xla")
+        r2 = ward_linkage_rnn(
+            D, store_dtype=std, round_impl="pallas_interpret"
+        )
+        assert not validate_merge_sequence(r2.merges, r2.heights, nreal, n)
+        np.testing.assert_array_equal(
+            np.asarray(r1.merges), np.asarray(r2.merges)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.heights), np.asarray(r2.heights)
+        )
+        # vmapped (the fold program's calling convention): batch folds
+        # into the kernel lane axis via the custom_vmap rule
+        Db = jnp.stack([D, D * 1.25])
+        rb = jax.vmap(
+            lambda d: ward_linkage_rnn(
+                d, store_dtype=std, round_impl="pallas_interpret"
+            )
+        )(Db)
+        np.testing.assert_array_equal(
+            np.asarray(rb.merges)[0], np.asarray(r1.merges)
+        )
+
     def test_exact_ties_duplicates(self):
         """Duplicate points create exact zero-distance ties; the stable
         height sort must stay topological and the clustering correct."""
