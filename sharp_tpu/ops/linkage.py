@@ -512,14 +512,15 @@ def ward_linkage_rnn(
     the serial merge order stays topological even when bf16 storage
     rounds a parent height just below its child's.
 
-    `round_impl` selects the round's full-matrix machinery: "xla" is the
-    scatter-matmul sequence described above (the semantic reference);
-    "pallas" fuses the scatter AND the next round's row-minimum pass
-    into one streaming kernel (ops/linkage_pallas.rnn_round_scatter) —
-    1 read + 1 write of the matrix per round instead of ~5 passes, with
-    bit-identical output (the pair logic and newrows arithmetic are the
-    SAME code; the kernel only applies them). "auto" uses the kernel on
-    TPU for 128-aligned levels; "pallas_interpret" runs it in
+    `round_impl` selects the round's full-matrix machinery: "auto"/"xla"
+    is the scatter-matmul sequence described above (the semantic
+    reference and, measured, the faster one — see the resolution note
+    below); "pallas" fuses the scatter AND the next round's row-minimum
+    pass into one streaming kernel (linkage_pallas.rnn_round_scatter,
+    1 read + 1 write of the matrix per round instead of ~5 passes) with
+    BIT-identical output — the pair logic and newrows arithmetic are
+    the same code, and both sides use the same deterministic
+    first-index argmin; "pallas_interpret" runs that kernel in
     interpreter mode (CPU tests).
     """
     n = D.shape[-1]
@@ -537,27 +538,72 @@ def ward_linkage_rnn(
     # 128-aligned lane dims and tiling-aligned pair slabs at each level
     if round_impl in ("pallas", "pallas_interpret"):
         fused_want = True
-    elif round_impl == "auto":
-        fused_want = jax.default_backend() == "tpu"
     else:
+        # "auto" = XLA rounds: the fused kernel is bit-identical and cuts
+        # HBM passes ~5 -> 3, but measured 190 vs 178 ms per 80-lane
+        # group at the production shape — the Pallas pipeline's per-step
+        # cost (~9.4 ms/round even streaming-only, vs a ~1.7 ms memory
+        # floor) eats the traffic win. Kept as an explicit opt-in;
+        # measurements in PROFILE.md.
         fused_want = False
     round_interp = round_impl == "pallas_interpret"
     sub_align = 16 if jnp.dtype(st).itemsize == 2 else 8
 
+    # store-rounding must be REAL: under --xla_allow_excess_precision
+    # (forced by some TPU runtimes) XLA may elide an f32->bf16->f32
+    # astype round-trip, and whether it does depends on how the
+    # surrounding program fuses — two compiles of this very function
+    # then disagree on stored values and, through bf16 ties, on merge
+    # order. lax.reduce_precision is the non-elidable rounding op.
+    if jnp.dtype(st) == jnp.bfloat16:
+        def store_round(x):
+            return jax.lax.reduce_precision(x, 8, 7)
+    else:
+        def store_round(x):
+            return x
+
     def level_fused(n_loc, P):
+        # P >= 16 also keeps the kernel's row-cache output shape
+        # (.., 8, R) distinct from a (.., P, R) operand — the aliasing
+        # discipline in linkage_pallas._round_scatter_invoke
         return bool(
-            fused_want and n_loc % 128 == 0 and P % sub_align == 0 and P >= 8
+            fused_want and n_loc % 128 == 0 and P % sub_align == 0
+            and P >= 16
         )
 
+    def first_argmin(Dm):
+        """Row min + FIRST-index argmin, deterministic across compiles.
+
+        jnp.argmin's tie-break is first-index per spec, but the TPU
+        lowering's reduction order — and with it which of several
+        equal bf16 entries wins — varies BETWEEN COMPILED PROGRAMS
+        (observed: two compiles of this same ladder disagreeing on 13
+        of 128 mutual pairs in round 1). min-reduces of values and of
+        masked int32 indices are exactly associative, so this
+        construction is order-independent — and it is the same
+        convention the fused kernel uses.
+        """
+        m = Dm.shape[-1]
+        mnv = jnp.min(Dm, axis=1)
+        idx = jnp.min(
+            jnp.where(
+                Dm == mnv[:, None], jnp.arange(m, dtype=jnp.int32)[None, :],
+                m,
+            ),
+            axis=1,
+        )
+        return mnv.astype(dt), idx.astype(jnp.int32)
+
     def row_cache(Dm, fused):
-        """(rowmin, rowarg) carried between fused rounds; dummies else."""
+        """(rowmin, rowarg) carried between FUSED rounds (the kernel
+        emits the next round's cache with its strip stream); the XLA
+        rounds recompute in-body — carrying a post-scatter first_argmin
+        there measured ~10% slower (the reduce does not fuse into the
+        scatter's select pass), so the dummies stay zeros."""
         m = Dm.shape[-1]
         if not fused:
             return jnp.zeros((m,), dt), jnp.zeros((m,), jnp.int32)
-        return (
-            jnp.min(Dm, axis=1).astype(dt),
-            jnp.argmin(Dm, axis=1).astype(jnp.int32),
-        )
+        return first_argmin(Dm)
 
     def make_body(n_loc, P, fused=False):
         ar = jnp.arange(n_loc)
@@ -571,8 +617,7 @@ def ward_linkage_rnn(
                 rowmin = rmin
                 nn = rarg
             else:
-                rowmin = jnp.min(D, axis=1).astype(dt)
-                nn = jnp.argmin(D, axis=1).astype(jnp.int32)
+                rowmin, nn = first_argmin(D)
             pp = nn[nn]
             mutual = (pp == ar) & af & (rowmin < 0.5 * BIG)
             lead = mutual & (ar < nn)
@@ -607,8 +652,8 @@ def ward_linkage_rnn(
             # pair-pair entries: the later merge's LW applied to the
             # earlier merge's fresh row — the serial association. Inputs
             # are store-rounded first (a later serial merge reads stored
-            # values).
-            newrows_st = newrows.astype(st)
+            # values; reduce_precision so the rounding survives fusion).
+            newrows_st = store_round(newrows).astype(st)
             newrows_rt = newrows_st.astype(dt)
             Ra = jnp.dot(
                 newrows_rt, OHa.T.astype(dt), preferred_element_type=dt,
@@ -630,14 +675,14 @@ def ward_linkage_rnn(
             earlier = (h[:, None] < h[None, :]) | (
                 (h[:, None] == h[None, :]) & (a[:, None] < a[None, :])
             )
-            V = jnp.where(earlier, E, E.T)
+            V = store_round(jnp.where(earlier, E, E.T))
 
             cola = jnp.sum(OHa, axis=0) > 0.5
             pairfix = jnp.dot(
                 V.astype(st), OHa, preferred_element_type=dt, precision=hi
             )
             newrows_st = jnp.where(
-                cola[None, :], pairfix.astype(st), newrows_st
+                cola[None, :], store_round(pairfix).astype(st), newrows_st
             )
             dying = jnp.sum(OHb, axis=0) > 0.5
             selfm = (OHa + OHb) > jnp.asarray(0.5, st)
@@ -648,12 +693,8 @@ def ward_linkage_rnn(
             if fused:
                 from sharp_tpu.ops.linkage_pallas import rnn_round_scatter
 
-                # pair slot of each lead lane (exact small ints in f32)
-                rank = jnp.sum(
-                    OHa.astype(dt) * arP.astype(dt)[:, None], axis=0
-                )
                 D, rmin_new, rarg_new = rnn_round_scatter(
-                    D, newrows_st, cola.astype(dt), rank,
+                    D, newrows_st, OHa, cola.astype(dt),
                     dying.astype(dt), interpret=round_interp,
                 )
             else:
@@ -661,15 +702,24 @@ def ward_linkage_rnn(
                     OHa.T, newrows_st, preferred_element_type=st,
                     precision=hi,
                 )
+                # NOTE colsfull == rowsfull.T bit-exactly (single-nonzero
+                # sums of the same stored values) — but reading rowsfull
+                # transposed in the select forces a real (n, n) transpose
+                # copy on TPU and measured 37% SLOWER than this second
+                # matmul; the MXU is the cheaper transposer here
                 colsfull = jax.lax.dot_general(
                     newrows_st, OHa,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=st,
                     precision=hi,
                 )
-                D = jnp.where(cola[:, None], rowsfull, D)
-                D = jnp.where(cola[None, :] & ~cola[:, None], colsfull, D)
-                D = jnp.where(dying[:, None] | dying[None, :], bigst, D)
+                D = jnp.where(
+                    dying[:, None] | dying[None, :], bigst,
+                    jnp.where(
+                        cola[:, None], rowsfull,
+                        jnp.where(cola[None, :], colsfull, D),
+                    ),
+                )
                 rmin_new, rarg_new = rmin, rarg
 
             alive = af & ~dying
@@ -720,7 +770,6 @@ def ward_linkage_rnn(
 
     merges0 = jnp.zeros((mbuf, 2), jnp.int32)
     heights0 = jnp.zeros((mbuf,), dt)
-    first_fused = n > C and level_fused(n, min(pair_cap, max(n // 2, 1)))
     state = (
         D,
         jnp.ones((n,), bool),
@@ -731,7 +780,7 @@ def ward_linkage_rnn(
         heights0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
-        *row_cache(D, first_fused),
+        *row_cache(D, n > C and level_fused(n, min(pair_cap, max(n // 2, 1)))),
     )
 
     def compact_to(state, n_from, Cn, next_fused):

@@ -681,8 +681,8 @@ def rnn_tail_pallas(
 
 
 def _round_scatter_kernel(
-    D_blk, NR_full, NR_strip, cola_f, rank_f, dying_f,
-    cola_s, rank_s, dying_s,
+    D_blk, NR_full, NR_strip, OHa_full, OHa_strip,
+    cola_f, dying_f, cola_s, dying_s,
     Dout, rmin_out, rarg_out,
 ):
     """One reciprocal-NN round's row/column scatter + next-round row
@@ -693,58 +693,47 @@ def _round_scatter_kernel(
     matmuls each materialize an (n, n) product, a where-chain reads
     D + both products and rewrites D, and the next round re-reads D for
     its row minima. Here one grid step processes one (R, n) row strip:
-    the merged pairs' fresh rows land via two SMALL one-hot contractions
-    ((R, P) x (P, n) rows; (P, R) x (P, n) columns — the strip's column
-    entries of pair p are newrows[p, r], i.e. a lane window of newrows,
-    no transpose of the big operand), dying rows/columns die in the same
-    register pass, the strip is written back once, and its row
-    min/argmin (over the STORE-ROUNDED values, matching what the XLA
-    round's jnp.min(D) would read next round) are emitted as the next
-    round's cache. Per round: 1 read + 1 write of D instead of ~5.
+    the merged pairs' fresh rows and columns land via two symmetric
+    window contractions against the precomputed slot->lane one-hot OHa
+    (leadrows = OHa_win^T-contract NR; colvals = NR_win^T-contract OHa
+    — no transposes, no in-kernel one-hot construction), dying
+    rows/columns die in the same register pass, the strip is written
+    back once, and its row min/argmin (over the STORE-ROUNDED values)
+    are emitted as the next round's cache. Per round: 1 read + 1 write
+    of D instead of ~5.
 
     Exactness: the one-hot contractions carry a single nonzero per
     output element, so any matmul precision reproduces the stored
     newrows values bit-exactly — the round is bit-identical to the XLA
     scatter (test-pinned, tests/test_linkage.py).
-
-    Masks arrive as f32 lane vectors ((1, n) full + (1, R) strip views
-    of the same arrays): cola = surviving pair leads, rank = pair slot
-    of a lead lane, dying = merged-away lanes.
     """
     R, n = D_blk.shape[1], D_blk.shape[2]
-    P = NR_full.shape[1]
     st = D_blk.dtype
 
     S = D_blk[0]                                    # (R, n) st
     NR = NR_full[0]                                 # (P, n) st
-    win = NR_strip[0]                               # (P, R) st
+    NRw = NR_strip[0, 0]                            # (P, R) st
+    OHa = OHa_full[0]                               # (P, n) st
+    OHw = OHa_strip[0, 0]                           # (P, R) st
     colaF = cola_f[0]                               # (1, n) f32
-    rankF = rank_f[0]
     dyingF = dying_f[0]
-    leadR = jnp.transpose(cola_s[0], (1, 0))        # (R, 1)
-    rankR = jnp.transpose(rank_s[0], (1, 0))
-    dyingR = jnp.transpose(dying_s[0], (1, 0))
+    leadR = jnp.transpose(cola_s[0, 0], (1, 0))     # (R, 1)
+    dyingR = jnp.transpose(dying_s[0, 0], (1, 0))
 
-    hi = jax.lax.Precision.HIGHEST
+    # f32 operands need HIGHEST (default would round them to bf16);
+    # bf16 operands are exact at native precision (single nonzero per
+    # output, f32 accumulate) and Mosaic REJECTS fp32 contract_precision
+    # on a bf16 lhs ("Bad lhs type")
+    hi = jax.lax.Precision.HIGHEST if st == jnp.float32 else None
 
-    # lead rows: row r (a pair's surviving lead) takes newrows[rank[r], :]
-    iotaP_col = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
-    OHrow = (
-        (rankR.astype(jnp.int32) == iotaP_col) & (leadR > 0.5)
-    ).astype(st)                                    # (R, P)
+    # lead rows: row r takes newrows[slot(r), :]
     leadrows = jax.lax.dot_general(
-        OHrow, NR, dimension_numbers=(((1,), (0,)), ((), ())),
+        OHw, NR, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=hi,
     )                                               # (R, n) f32, exact
-
-    # lead columns: entry (r, c) for lead column c is newrows[rank[c], r]
-    # — a lane-window of newrows contracted against the column one-hot
-    iotaP_row = jax.lax.broadcasted_iota(jnp.int32, (P, n), 0)
-    OHcol = (
-        (rankF.astype(jnp.int32) == iotaP_row) & (colaF > 0.5)
-    ).astype(st)                                    # (P, n)
+    # lead columns: entry (r, c) for lead column c is newrows[slot(c), r]
     colvals = jax.lax.dot_general(
-        win, OHcol, dimension_numbers=(((0,), (0,)), ((), ())),
+        NRw, OHa, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=hi,
     )                                               # (R, n) f32, exact
 
@@ -758,55 +747,79 @@ def _round_scatter_kernel(
     Dout[0] = out_st
 
     # next-round row cache over the STORED values (first-index argmin,
-    # matching jnp.argmin's tie rule)
+    # the ladder's deterministic tie rule — ops/linkage.first_argmin)
     of = out_st.astype(jnp.float32)
     mn = jnp.min(of, axis=1, keepdims=True)         # (R, 1)
     colN = jax.lax.broadcasted_iota(jnp.int32, (R, n), 1)
     am = jnp.min(
         jnp.where(of == mn, colN, n), axis=1, keepdims=True
     )                                               # (R, 1)
-    rmin_out[:, :] = jnp.transpose(mn, (1, 0))
-    rarg_out[:, :] = jnp.transpose(am, (1, 0))
+    rmin_out[0, 0] = jnp.broadcast_to(jnp.transpose(mn, (1, 0)), (8, R))
+    rarg_out[0, 0] = jnp.broadcast_to(jnp.transpose(am, (1, 0)), (8, R))
 
 
-def _round_scatter_invoke(D, NR, cola, rank, dying, interpret):
+def _round_scatter_invoke(D, NR, OHa, cola, dying, interpret):
     L, n, _ = D.shape
     P = NR.shape[1]
-    R = 256 if n % 256 == 0 else 128
+    R = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     Sg = n // R
     grid = (L, Sg)
+    # ALIASING DISCIPLINE (hard-won; the failure was context-dependent):
+    # XLA:TPU's custom-call CanShareBuffer hook may silently alias an
+    # output with a same-shaped operand. The kernel WRITES its row-cache
+    # outputs at every strip while LATER strips still RE-READ the mask
+    # operand blocks from HBM — if an output shares a mask operand's
+    # buffer, those re-reads see clobbered data (observed: ~174k stale
+    # matrix cells, deterministic per compile, appearing only in some
+    # surrounding programs). Therefore every output shape+dtype here is
+    # DISTINCT from every operand's (the row-cache planes carry 8
+    # broadcast sublanes for that reason alone; level_fused requires
+    # P >= 16 so (.., 8, R) never collides with a (.., P, R) window).
+    # D is NOT aliased either: an explicit {0: 0} alias is correct
+    # (strip s's write never overlaps strip s+1's prefetch) but measured
+    # +2.4 ms/round — Mosaic serializes the in-place pipeline.
     vec = lambda a: a.reshape(L, 1, n)
-    cola3, rank3, dying3 = vec(cola), vec(rank), vec(dying)
-    return pl.pallas_call(
+    strips = lambda a: a.reshape(L, Sg, 1, R)
+    # the lane windows need strip-major layout — real (small) transposes
+    NR_str = NR.reshape(L, P, Sg, R).swapaxes(1, 2)      # (L, Sg, P, R)
+    OHa_str = OHa.reshape(L, P, Sg, R).swapaxes(1, 2)    # (L, Sg, P, R)
+    Dn, rm8, ra8 = pl.pallas_call(
         _round_scatter_kernel,
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((L, n, n), D.dtype),
-            jax.ShapeDtypeStruct((L, n), jnp.float32),
-            jax.ShapeDtypeStruct((L, n), jnp.int32),
+            jax.ShapeDtypeStruct((L, Sg, 8, R), jnp.float32),
+            jax.ShapeDtypeStruct((L, Sg, 8, R), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((1, R, n), lambda l, s: (l, s, 0)),   # D strip
-            pl.BlockSpec((1, P, n), lambda l, s: (l, 0, 0)),   # newrows
-            pl.BlockSpec((1, P, R), lambda l, s: (l, 0, s)),   # lane window
-            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),   # cola full
-            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),   # rank full
-            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),   # dying full
-            pl.BlockSpec((1, 1, R), lambda l, s: (l, 0, s)),   # cola strip
-            pl.BlockSpec((1, 1, R), lambda l, s: (l, 0, s)),   # rank strip
-            pl.BlockSpec((1, 1, R), lambda l, s: (l, 0, s)),   # dying strip
+            pl.BlockSpec((1, R, n), lambda l, s: (l, s, 0)),     # D strip
+            pl.BlockSpec((1, P, n), lambda l, s: (l, 0, 0)),     # newrows
+            pl.BlockSpec((1, 1, P, R), lambda l, s: (l, s, 0, 0)),  # NR win
+            pl.BlockSpec((1, P, n), lambda l, s: (l, 0, 0)),     # OHa
+            pl.BlockSpec((1, 1, P, R), lambda l, s: (l, s, 0, 0)),  # OHa win
+            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),     # cola full
+            pl.BlockSpec((1, 1, n), lambda l, s: (l, 0, 0)),     # dying full
+            pl.BlockSpec((1, 1, 1, R), lambda l, s: (l, s, 0, 0)),  # cola strip
+            pl.BlockSpec((1, 1, 1, R), lambda l, s: (l, s, 0, 0)),  # dying strip
         ],
         out_specs=(
             pl.BlockSpec((1, R, n), lambda l, s: (l, s, 0)),
-            pl.BlockSpec((1, R), lambda l, s: (l, s)),
-            pl.BlockSpec((1, R), lambda l, s: (l, s)),
+            pl.BlockSpec((1, 1, 8, R), lambda l, s: (l, s, 0, 0)),
+            pl.BlockSpec((1, 1, 8, R), lambda l, s: (l, s, 0, 0)),
         ),
-        input_output_aliases={0: 0},  # D is updated in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(D, NR, NR, cola3, rank3, dying3, cola3, rank3, dying3)
+    )(D, NR, NR_str, OHa, OHa_str, vec(cola), vec(dying),
+      strips(cola), strips(dying))
+    return Dn, rm8[:, :, 0, :], ra8[:, :, 0, :]
+
+
+def _round_scatter_flat(D, NR, OHa, cola, dying, interpret):
+    Dn, rm, ra = _round_scatter_invoke(D, NR, OHa, cola, dying, interpret)
+    L, n, _ = D.shape
+    return Dn, rm.reshape(L, n), ra.reshape(L, n)
 
 
 _ROUND_CALLS = {}
@@ -817,13 +830,13 @@ def _get_round_call(interpret: bool):
     if interpret not in _ROUND_CALLS:
 
         @jax.custom_batching.custom_vmap
-        def call(D, NR, cola, rank, dying):
-            return _round_scatter_invoke(D, NR, cola, rank, dying, interpret)
+        def call(D, NR, OHa, cola, dying):
+            return _round_scatter_flat(D, NR, OHa, cola, dying, interpret)
 
         @call.def_vmap
-        def _rule(axis_size, in_batched, D, NR, cola, rank, dying):
+        def _rule(axis_size, in_batched, D, NR, OHa, cola, dying):
             args = []
-            for a, b in zip((D, NR, cola, rank, dying), in_batched):
+            for a, b in zip((D, NR, OHa, cola, dying), in_batched):
                 if not b:
                     a = jnp.broadcast_to(a, (axis_size,) + a.shape)
                 args.append(a.reshape((-1,) + a.shape[2:]))
@@ -841,8 +854,8 @@ def _get_round_call(interpret: bool):
 def rnn_round_scatter(
     D_st: jax.Array,      # (n, n) storage dtype, pre-round matrix
     newrows_st: jax.Array,  # (P, n) storage dtype, masked fresh pair rows
+    OHa_st: jax.Array,    # (P, n) storage dtype slot->lane one-hot
     cola: jax.Array,      # (n,) f32 1.0 at surviving pair-lead lanes
-    rank: jax.Array,      # (n,) f32 pair slot of a lead lane (else 0)
     dying: jax.Array,     # (n,) f32 1.0 at merged-away lanes
     interpret: bool = False,
 ):
@@ -855,9 +868,8 @@ def rnn_round_scatter(
     batches into the kernel's lane grid axis.
     """
     Dn, rm, ra = _get_round_call(interpret)(
-        D_st[None], newrows_st[None],
+        D_st[None], newrows_st[None], OHa_st[None],
         cola.astype(jnp.float32)[None],
-        rank.astype(jnp.float32)[None],
         dying.astype(jnp.float32)[None],
     )
     return Dn[0], rm[0], ra[0]

@@ -94,6 +94,23 @@ def test_linkage_backends_production_shapes(tpu_backend, n_pad, n_real):
                 )
 
     if n_pad == 2048:
+        # the fused Pallas round scatter (opt-in round_impl) must stay
+        # BIT-identical to the XLA rounds on real hardware — including
+        # bf16, where cross-compile argmin tie instability originally
+        # broke it (fixed by the deterministic first_argmin; r05)
+        rx = jax.block_until_ready(
+            ward_linkage_rnn(D, store_dtype=jnp.bfloat16, round_impl="xla")
+        )
+        rp = jax.block_until_ready(
+            ward_linkage_rnn(
+                D, store_dtype=jnp.bfloat16, round_impl="pallas"
+            )
+        )
+        assert np.array_equal(np.asarray(rx.merges), np.asarray(rp.merges))
+        assert np.array_equal(
+            np.asarray(rx.heights), np.asarray(rp.heights)
+        )
+
         # compact_n > 256 (a public knob) must route its tail off the
         # Pallas kernel — its VMEM-budgeted lane chunk falls under the
         # 8-sublane tiling floor there (ADVICE r03; the failure modes
