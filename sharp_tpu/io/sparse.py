@@ -59,13 +59,25 @@ class SparseBlock(NamedTuple):
 
     @classmethod
     def from_sblk(cls, path: str) -> "SparseBlock":
+        # copy=False: the parse returns memory-mapped views with the
+        # right dtypes already — a same-dtype astype COPY here cost
+        # ~7 s/block on first-touch-fault-expensive VMs (io/native.py
+        # _py_parse docstring). uint16-valued files (dt=1) still
+        # convert, on their much smaller payload.
         from sharp_tpu.io.native import _py_parse
 
         n, g, nnz, dt, indptr, indices, vals = _py_parse(path)
+        # pre-fault the mapped payload NOW (one touch per 4K page):
+        # from_sblk runs on the prefetch thread, so the page-cache
+        # fault-in overlaps the previous block's device work instead of
+        # serializing into the fold loop's slice phase
+        for a in (indices, vals):
+            if a.size:
+                a.reshape(-1)[:: 4096 // a.itemsize].max()
         return cls(
-            n=n, g=g, indptr=indptr.astype(np.int64),
-            indices=indices.astype(np.int32),
-            data=vals.astype(np.float32),
+            n=n, g=g, indptr=indptr.astype(np.int64, copy=False),
+            indices=indices.astype(np.int32, copy=False),
+            data=vals.astype(np.float32, copy=False),
         )
 
     def densify(self) -> np.ndarray:
@@ -132,9 +144,14 @@ def densify_folds(
     """Scatter grouped CSR data into dense (G, block_pad, genes) f32.
 
     Row ids are derived ON DEVICE from the per-row `counts` (see
-    fold_triplets): rows[i] = #{cumsum(counts) <= i}, one vectorized
-    binary search over the O(nnz) index range — entries past the fold's
-    total nnz derive row == block_pad, out of bounds, and are dropped.
+    fold_triplets): rows[i] = #{cumsum(counts) <= i}, computed as the
+    prefix sum of row-boundary markers — a block_pad-element scatter-add
+    plus one O(nnz) cumsum. NOT a searchsorted: the binary search's
+    nnz x log(block_pad) gathers measured 9.5 s per 16-fold group at
+    production shape vs 0.6 s for the actual densify scatter (r05; the
+    "slow hint-free scatter" was 94% row derivation). Entries past the
+    fold's total nnz derive row == block_pad, out of bounds, and are
+    dropped.
 
     NO sorted/unique scatter hints: with `indices_are_sorted=True` the
     TPU lowering returns deterministically WRONG values at production
@@ -152,11 +169,17 @@ def densify_folds(
     (G, block_pad, genes) HBM copy from the streaming fold pass.
     """
     budget = cols.shape[-1]
-    pos = jnp.arange(budget, dtype=jnp.int32)
 
     def one(cnt, c, v):
         cum = jnp.cumsum(cnt.astype(jnp.int32))
-        r = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32)
+        # row of entry i = number of row-end markers at positions <= i
+        # (a marker sits at each row's END offset; empty rows stack
+        # markers at the same position and the prefix sum skips them,
+        # exactly searchsorted(cum, i, side="right"))
+        marker = (
+            jnp.zeros((budget,), jnp.int32).at[cum].add(1, mode="drop")
+        )
+        r = jnp.cumsum(marker)
         if log2p1:
             v = jnp.log2(1.0 + v)
         X = jnp.zeros((block_pad, genes), jnp.float32)

@@ -215,6 +215,7 @@ def process_folds_grouped(
         pending_outs.clear()
 
     staged = stage(0)
+    prev_out = None
     for g0 in range(0, T, group):
         data, masks, pad_sizes, gsizes = staged
         t0 = _time.perf_counter()
@@ -239,9 +240,19 @@ def process_folds_grouped(
         # stage the NEXT group while the device runs this one
         if g0 + group < T:
             staged = stage(g0 + group)
-        out = jax.block_until_ready(out)
         if timing is not None:
+            # attribution mode: synchronous per-group device timing
+            out = jax.block_until_ready(out)
             timing["device_s"] += _time.perf_counter() - t0
+        else:
+            # depth-2 pipeline: wait for the PREVIOUS group while this
+            # one executes — bounds the dispatch queue (2 groups of
+            # staged triplets + one dense working set resident) without
+            # paying a dead-stop round trip per group (each wait on the
+            # tunneled backend costs 0.2-1 s; overlapped here)
+            if prev_out is not None:
+                jax.block_until_ready(prev_out)
+            prev_out = out
         t0 = _time.perf_counter()
         pending_outs.append((out, gsizes))
         if len(pending_outs) >= FLUSH:
