@@ -146,6 +146,45 @@ def test_densify_folds_matches_host():
         assert not dense[gi, z:].any()
 
 
+def test_densify_folds_ragged_and_empty_rows():
+    """The marker-prefix-sum row derivation (r05: replaced a searchsorted
+    that was 94% of the API path's device time) must reproduce
+    searchsorted(cum, i, 'right') semantics exactly on ragged rows,
+    EMPTY rows (stacked markers), empty folds, and past-nnz padding."""
+    import scipy.sparse as sp
+
+    from sharp_tpu.io.sparse import densify_folds
+
+    rng = np.random.default_rng(9)
+    G, B, genes, budget = 3, 16, 50, 256
+    counts = np.zeros((G, B), np.int32)
+    counts[0] = [5, 0, 0, 12, 1, 0, 30, 2, 0, 0, 0, 7, 0, 3, 0, 0]
+    counts[1, 0] = 40  # single fat row
+    # fold 2: entirely empty
+    cols = np.zeros((G, budget), np.uint16)
+    vals = np.zeros((G, budget), np.float32)
+    for g in range(G):
+        off = 0
+        for r in range(B):
+            k = counts[g, r]
+            if k:
+                rc = np.sort(rng.choice(genes, k, replace=False))
+                cols[g, off : off + k] = rc
+                vals[g, off : off + k] = rng.uniform(0.5, 2.0, k)
+                off += k
+    dense = np.asarray(
+        densify_folds(counts, cols, vals, block_pad=B, genes=genes)
+    )
+    for g in range(G):
+        tot = counts[g].sum()
+        indptr = np.concatenate([[0], np.cumsum(counts[g])]).astype(np.int64)
+        host = sp.csr_matrix(
+            (vals[g][:tot], cols[g][:tot].astype(np.int64), indptr),
+            shape=(B, genes),
+        ).toarray().astype(np.float32)
+        np.testing.assert_array_equal(dense[g], host)
+
+
 def test_unlimited_single_matrix_degrades():
     X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=3, seed=2)
     res = sharp_unlimited([X], rN_seed=4, ensize_K=4)
