@@ -241,17 +241,21 @@ def process_folds_grouped(
         if g0 + group < T:
             staged = stage(g0 + group)
         if timing is not None:
-            # attribution mode: synchronous per-group device timing
-            out = jax.block_until_ready(out)
+            # attribution mode: synchronous per-group device timing.
+            # ONE leaf: the XLA program completes atomically, and on
+            # tunneled backends block_until_ready polls EVERY buffer of
+            # a pytree at ~0.2-1 s latency each (~8 FoldSummary fields
+            # = seconds of pure round trips per group — measured as the
+            # dominant "device" term before this fix)
+            jax.block_until_ready(out.n_meta)
             timing["device_s"] += _time.perf_counter() - t0
         else:
             # depth-2 pipeline: wait for the PREVIOUS group while this
             # one executes — bounds the dispatch queue (2 groups of
-            # staged triplets + one dense working set resident) without
-            # paying a dead-stop round trip per group (each wait on the
-            # tunneled backend costs 0.2-1 s; overlapped here)
+            # staged triplets + one dense working set resident). Same
+            # single-leaf discipline as above.
             if prev_out is not None:
-                jax.block_until_ready(prev_out)
+                jax.block_until_ready(prev_out.n_meta)
             prev_out = out
         t0 = _time.perf_counter()
         pending_outs.append((out, gsizes))
@@ -418,7 +422,10 @@ def process_folds_sharded(
         R_all,
         jnp.asarray(logf),
     )
-    out = jax.block_until_ready(out)
+    # one leaf (program completion is atomic): a full-pytree
+    # block_until_ready costs one ~0.2-1 s round trip PER FIELD on
+    # tunneled backends
+    jax.block_until_ready(out.n_meta)
 
     results = summaries_to_host(out, n_reals[:T], cfg.forview)
     log(
