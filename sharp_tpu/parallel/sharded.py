@@ -103,6 +103,7 @@ def process_folds_grouped(
     cfg: SharpConfig,
     logf: bool,
     group: Optional[int] = None,
+    wire_dtype: str = "float32",
 ) -> List[dict]:
     """Single-device fold pass, `group` folds per jit call.
 
@@ -166,7 +167,8 @@ def process_folds_grouped(
         starts += [starts[0]] * (group - G)
         if sparse:
             counts, cols, vals = fold_triplets(
-                X, starts, pad_sizes, block_pad, budget
+                X, starts, pad_sizes, block_pad, budget,
+                wire_dtype=wire_dtype,
             )
             t1 = _time.perf_counter()
             staged = (

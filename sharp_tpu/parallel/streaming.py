@@ -52,7 +52,7 @@ def _config_fingerprint(cfg: SharpConfig) -> str:
 
 def _fold_pass(
     Xb: np.ndarray, cfg: SharpConfig, R_all, logf: bool, mesh=None,
-    group: Optional[int] = None,
+    group: Optional[int] = None, wire_dtype: str = "float32",
 ):
     """One block's fold pass -> list of per-fold summary dicts.
 
@@ -90,7 +90,7 @@ def _fold_pass(
     return process_folds_grouped(
         Xb if sparse else np.asarray(Xb, np.float32),
         sizes, block_pad, R_all, cfg, logf,
-        group=group,
+        group=group, wire_dtype=wire_dtype,
     )
 
 
@@ -226,6 +226,7 @@ def sharp_unlimited(
     fuse_batch: int = 8,
     sparse_feed: Optional[bool] = None,
     group: Optional[int] = None,
+    wire_dtype: str = "float32",
     **knobs,
 ) -> SharpResult:
     """Blocked / out-of-core clustering ~ SHARP_unlimited{,2,3}.
@@ -243,7 +244,11 @@ def sharp_unlimited(
     (results are invariant to the grouping). `sparse_feed` (default
     auto) ships SBLK/scipy-CSR blocks to the device as CSR triplets and
     densifies on-chip — bit-identical labels, ~6x less host->device
-    traffic; pass False to force host densify. `group` bounds how many
+    traffic; pass False to force host densify. `wire_dtype="bfloat16"`
+    additionally rounds the triplet VALUES to bf16 on the wire (4 B/nnz
+    instead of 6) — an explicit lossy opt-in for link-bound deployments;
+    the default f32 wire keeps sparse-fed == dense-fed bit-identity.
+    `group` bounds how many
     folds are staged per device call (default: sized from the HBM
     budget, parallel/sharded.auto_group; `SHARP_TPU_HBM_BUDGET` bytes
     overrides the budget).
@@ -427,7 +432,8 @@ def sharp_unlimited(
 
                     pending.append(
                         (i, _fold_pass(Xb, cfg, R_all, logf, mesh,
-                                       group=group))
+                                       group=group,
+                                       wire_dtype=wire_dtype))
                     )
                     if len(pending) >= fuse_batch:
                         fuse_pending()

@@ -185,6 +185,27 @@ def test_densify_folds_ragged_and_empty_rows():
         np.testing.assert_array_equal(dense[g], host)
 
 
+def test_wire_dtype_bf16_opt_in(tmp_path):
+    """wire_dtype='bfloat16' (lossy 4 B/nnz wire for link-bound
+    deployments) must stay an ARI-equivalent clustering; the default f32
+    wire keeps the sparse==dense bit-identity pinned elsewhere."""
+    from sklearn.metrics import adjusted_rand_score
+
+    from sharp_tpu.io.blocks import save_blocks
+
+    X, y = make_tpm_like(n_cells=1200, n_genes=500, n_types=5, seed=31)
+    d = str(tmp_path / "blk")
+    save_blocks(d, [X[:600], X[600:]], fmt="sblk")
+    kw = dict(rN_seed=4, ensize_K=4, base_ncells=300,
+              partition_ncells=300, resume=False)
+    r32 = sharp_unlimited(d, **kw)
+    rbf = sharp_unlimited(d, wire_dtype="bfloat16", **kw)
+    assert adjusted_rand_score(y, rbf.pred_clusters) >= 0.9
+    assert adjusted_rand_score(
+        r32.pred_clusters, rbf.pred_clusters
+    ) >= 0.95
+
+
 def test_unlimited_single_matrix_degrades():
     X, y = make_tpm_like(n_cells=200, n_genes=300, n_types=3, seed=2)
     res = sharp_unlimited([X], rN_seed=4, ensize_K=4)
